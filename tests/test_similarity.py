@@ -1,0 +1,59 @@
+"""Jaro / Jaro-Winkler parity with strsim 0.11.1 (the reference's pinned dep).
+
+Expected values are strsim's own published doc/README assertions plus
+hand-computed textbook values. The reference consumes these at thresholds
+0.85/0.93/0.99 (/root/reference/src/dedupe.rs:141-142,625-648).
+"""
+
+import pytest
+
+from biblib_spark.kernels.similarity import jaro, jaro_winkler
+
+
+@pytest.mark.parametrize(
+    ("a", "b", "expected"),
+    [
+        ("", "", 1.0),
+        ("", "a", 0.0),
+        ("a", "", 0.0),
+        ("a", "a", 1.0),
+        ("a", "b", 0.0),
+        ("martha", "marhta", 0.9444444444444445),
+        ("dixon", "dicksonx", 0.7666666666666666),
+        ("dwayne", "duane", 0.8222222222222223),
+        # strsim README: jaro("Friedrich Nietzsche", "Jean-Paul Sartre") ≈ 0.392
+        ("Friedrich Nietzsche", "Jean-Paul Sartre", 0.392),
+    ],
+)
+def test_jaro(a, b, expected):
+    assert jaro(a, b) == pytest.approx(expected, abs=1e-3)
+
+
+def test_jaro_winkler_uncapped_prefix():
+    # strsim README: ≈ 0.911 — only holds with an UNCAPPED common prefix
+    # (prefix "cheese" = 6 chars; the classic 4-cap would give ≈ 0.867).
+    assert jaro_winkler("cheeseburger", "cheese fries") == pytest.approx(0.911, abs=1e-3)
+
+
+def test_jaro_winkler_classic_values():
+    assert jaro_winkler("martha", "marhta") == pytest.approx(0.9611111, abs=1e-6)
+    assert jaro_winkler("", "") == 1.0
+    assert jaro_winkler("same", "same") == 1.0
+
+
+def test_jaro_winkler_clamped():
+    # long identical prefix then small tail difference must not exceed 1.0
+    a = "a" * 30 + "x"
+    b = "a" * 30 + "y"
+    assert jaro_winkler(a, b) <= 1.0
+
+
+def test_threshold_band_behavior():
+    # near-identical normalized titles used by the dedup predicate
+    t1 = "machinelearninginhealthcare"
+    t2 = "machinelearninginhealthcares"  # one char appended
+    # (m/27 + m/28 + 1)/3 with m=27 → 0.98809...; JW lifts it above 0.99
+    assert jaro(t1, t2) == pytest.approx(0.9880952380952381)
+    assert jaro_winkler(t1, t2) >= 0.99
+    t3 = "deeplearningforproteinfolding"
+    assert jaro(t1, t3) < 0.85
