@@ -1,0 +1,114 @@
+"""Candidate-pair generation tiers (C1-C5, C7 of SURVEY.md §2.8).
+
+The reference compares all pairs within a year block — O(n_y²)
+(src/dedupe.rs:594-655). At 10⁹+ rows the pairwise join is replaced by
+candidate tiers; the reference predicate then verifies candidates only, so
+precision is reference-identical and recall is governed by tier coverage:
+
+- T0 exact identity: equi-join on the (parse-normalized) DOI
+- T1 exact normalized title: equi-join on norm_title
+- T2 MinHash-LSH band keys over norm_title shingles
+- T3 SimHash quarter keys for short titles
+
+All tiers block on year_key (M1: comparisons never cross blocks). Skew (C7):
+a bucket larger than ``max_bucket`` (mega-journal year blocks, boilerplate
+titles) would generate O(n²) pairs; the ``star`` policy links every member to
+the bucket's min-rid seed instead (n-1 pairs) — connected components then
+recovers the full group through the seed. AQE skew-join splitting handles
+physical skew on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+
+def self_join_pairs(
+    keyed: DataFrame, keys: list[str], max_bucket: int
+) -> DataFrame:
+    """(keys..., rid) -> candidate pairs (a, b) with a < b.
+
+    ONE shuffle: groupBy bucket -> sorted rid array; singleton buckets (the
+    overwhelming majority at scale) die in the aggregation; pair expansion is
+    a JVM-side double explode (no second shuffle, no window sort). Buckets
+    within ``max_bucket`` produce all pairs; oversize buckets produce star
+    pairs against the min-rid element (C7).
+    """
+    grouped = (
+        keyed.groupBy(*[F.col(k) for k in keys])
+        .agg(F.sort_array(F.collect_list("rid")).alias("rids"))
+        .filter(F.size("rids") > 1)
+        .select("rids")
+    )
+
+    small = grouped.filter(F.size("rids") <= max_bucket)
+    full_pairs = (
+        small.select(F.explode("rids").alias("a"), F.col("rids"))
+        .select(
+            "a",
+            F.explode(F.filter("rids", lambda x: x > F.col("a"))).alias("b"),
+        )
+    )
+
+    big = grouped.filter(F.size("rids") > max_bucket)
+    star_pairs = big.select(
+        F.col("rids")[0].alias("a"),
+        F.explode(F.slice(F.col("rids"), F.lit(2), F.size("rids") - 1)).alias("b"),
+    )
+
+    return full_pairs.unionByName(star_pairs)
+
+
+def candidate_pairs(feat: DataFrame, cfg) -> DataFrame:
+    """All tiers unioned and deduped (C5). ``feat`` must carry
+    rid, year_key, doi, norm_title, lsh_keys, simhash_keys.
+
+    Every tier key is hashed into ONE int64 ``bkey`` column (tier-salted
+    xxhash64) and all tiers share a single window + self-join — one shuffle
+    for bucket sizing, one for the join, instead of one pair per tier. Hash
+    collisions across tiers only add candidates; the verify predicate keeps
+    precision exact.
+    """
+    tiers: list[DataFrame] = []
+
+    tiers.append(
+        feat.filter(F.col("doi").isNotNull() & (F.col("doi") != "")).select(
+            "year_key",
+            F.xxhash64(F.lit("doi"), F.col("doi")).alias("bkey"),
+            "rid",
+        )
+    )
+    if cfg.exact_title_tier:
+        tiers.append(
+            feat.filter(F.col("norm_title") != "").select(
+                "year_key",
+                F.xxhash64(F.lit("title"), F.col("norm_title")).alias("bkey"),
+                "rid",
+            )
+        )
+    tiers.append(
+        feat.select(
+            "year_key", F.explode("lsh_keys").alias("k"), "rid"
+        ).select(
+            "year_key", F.xxhash64(F.lit("lsh"), F.col("k")).alias("bkey"), "rid"
+        )
+    )
+    if cfg.simhash_enabled:
+        tiers.append(
+            feat.select(
+                "year_key", F.explode("simhash_keys").alias("k"), "rid"
+            ).select(
+                "year_key", F.xxhash64(F.lit("sim"), F.col("k")).alias("bkey"), "rid"
+            )
+        )
+
+    keyed = tiers[0]
+    for t in tiers[1:]:
+        keyed = keyed.unionByName(t)
+    # no pre-distinct: (bucket, rid) rows are already unique within each tier
+    # and the tier salt keeps them distinct across tiers
+    pairs = self_join_pairs(keyed, ["year_key", "bkey"], cfg.max_bucket)
+    # C5: one verify per unordered pair (same pair can surface in many tiers)
+    return pairs.distinct()

@@ -1,0 +1,208 @@
+"""End-to-end tiered deduplication pipeline (SURVEY.md §2.7-2.8, §3.3).
+
+Dataflow (mirrors the reference find_duplicates_with_sources at
+src/dedupe.rs:403-500, re-expressed as 6 Spark stages):
+
+  normalize-project (M3/N1-N5)  one withColumns pass, Arrow UDFs
+  -> candidates (C1-C5)         tiered equi-joins within year blocks
+  -> verify (M4-M8)             SQL field matches + jaro/jw pandas UDF
+  -> connected components (C6)  min-label propagation
+  -> elect representative (M10) one window
+  -> emit (rid, cluster_id, is_unique)
+
+Scale notes: the only O(n²) surface is within candidate buckets, which are
+capped (C7 star policy); everything else is equi-join + window. Features are
+persisted once and reused by candidates/verify/election (preprocess-once,
+dedupe.rs:566-590).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from biblib_spark.operators.candidates import candidate_pairs
+from biblib_spark.operators.components import assign_clusters
+from biblib_spark.operators.election import elect_representatives
+from biblib_spark.operators.verify import verify_pairs
+
+
+@dataclass
+class DedupConfig:
+    """Shingle/signature config is explicit: the correctness gate requires
+    identical configs between runs (BASELINE.json north_rule)."""
+
+    group_by_year: bool = True  # M1; default matches Deduplicator::new
+    source_preferences: list[str] = field(default_factory=list)
+    shingle_k: int = 4
+    num_perm: int = 64
+    bands: int = 16
+    minhash_seed: int = 1815
+    max_bucket: int = 64  # C7 star-policy cap per candidate bucket
+    simhash_enabled: bool = True
+    simhash_max_title: int = 24
+    exact_title_tier: bool = True
+
+
+# columns dedupe_records expects on its input
+RECORD_COLS = [
+    "rid",
+    "source",
+    "title",
+    "journal",
+    "journal_abbr",
+    "volume",
+    "pages",
+    "issn",
+    "doi",
+    "year",
+    "abstract_text",
+]
+
+
+def preprocess(records: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """M3 + N1-N5 + LSH/SimHash keys in ONE mapInPandas pass.
+
+    A single Python evaluation node (one Arrow round-trip, one worker fan-out)
+    instead of seven stacked pandas-UDF projections — at local[32] the stacked
+    version was dominated by per-node Python evaluation overhead. No shuffle.
+    """
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from biblib_spark.functions.minhash import (
+        _perm_params,
+        band_keys,
+        minhash_signature,
+        shingles,
+    )
+    from biblib_spark.functions.simhash import simhash64
+    from biblib_spark.kernels.norm import (
+        format_issn,
+        format_journal_name,
+        normalize_title,
+        normalize_volume,
+    )
+
+    out_schema = StructType(
+        list(records.schema.fields)
+        + [
+            StructField("norm_title", StringType()),
+            StructField("norm_journal", StringType()),
+            StructField("norm_journal_abbr", StringType()),
+            StructField("norm_volume", StringType()),
+            StructField("norm_issn", ArrayType(StringType())),
+            StructField("year_key", IntegerType()),
+            StructField("lsh_keys", ArrayType(LongType())),
+            StructField("simhash_keys", ArrayType(LongType())),
+        ]
+    )
+    k = cfg.shingle_k
+    num_perm, bands, seed = cfg.num_perm, cfg.bands, cfg.minhash_seed
+    group_by_year = cfg.group_by_year
+    simhash_on, sim_max = cfg.simhash_enabled, cfg.simhash_max_title
+
+    def _fn(batches):
+        a, b = _perm_params(num_perm, seed)
+
+        def nt(x):
+            return (normalize_title(x) or "") if isinstance(x, str) else ""
+
+        def nj(x):
+            return format_journal_name(x) if isinstance(x, str) else None
+
+        def nv(x):
+            return normalize_volume(x) if isinstance(x, str) else ""
+
+        def ni(lst):
+            if lst is None:
+                return []
+            return [f for f in (format_issn(v) for v in lst) if f is not None]
+
+        def lsh(t):
+            if not t:
+                return []
+            sig = minhash_signature(shingles(t, k), a, b)
+            return [] if sig is None else band_keys(sig, bands)
+
+        def sim(t):
+            if not simhash_on or not t or len(t) > sim_max:
+                return []
+            h = simhash64(t, k)
+            return [(q << 16 | ((h >> (16 * q)) & 0xFFFF)) for q in range(4)]
+
+        for pdf in batches:
+            titles = pdf["title"].map(nt)
+            pdf = pdf.assign(
+                norm_title=titles,
+                norm_journal=pdf["journal"].map(nj),
+                norm_journal_abbr=pdf["journal_abbr"].map(nj),
+                norm_volume=pdf["volume"].map(nv),
+                norm_issn=pdf["issn"].map(ni),
+                year_key=(
+                    pdf["year"].fillna(0).astype("int32")
+                    if group_by_year
+                    else pd.Series(0, index=pdf.index, dtype="int32")
+                ),
+                lsh_keys=titles.map(lsh),
+                simhash_keys=titles.map(sim),
+            )
+            yield pdf
+
+    return records.mapInPandas(_fn, out_schema)
+
+
+def dedupe_records(records: DataFrame, cfg: DedupConfig | None = None) -> DataFrame:
+    """(RECORD_COLS) -> (rid, cluster_id, is_unique, source).
+
+    Matches reference cluster semantics with dup-pair recall 1.0 relative to
+    the predicate over generated candidates (see tests/reference_impl.py for
+    the fixture oracle).
+    """
+    cfg = cfg or DedupConfig()
+    # persisted once, consumed by candidates, verify and election; the cache
+    # must outlive the returned (lazy) DataFrame — callers that want the
+    # memory back should checkpoint/write the result then unpersist
+    feat = preprocess(records, cfg).persist(StorageLevel.MEMORY_AND_DISK)
+    pairs = candidate_pairs(feat, cfg)
+    dup_edges = verify_pairs(pairs, feat)
+    clustered = assign_clusters(feat.select("rid"), dup_edges)
+    enriched = clustered.join(
+        feat.select("rid", "source", "abstract_text", "doi"), "rid"
+    )
+    elected = elect_representatives(enriched, cfg.source_preferences)
+    return elected.select("rid", "cluster_id", "is_unique", "source")
+
+
+def records_from_parsed(parsed: DataFrame, record_idx_bits: int = 20) -> DataFrame:
+    """Adapt parse output (PARSED_SCHEMA) to dedup input.
+
+    rid = row_id << record_idx_bits | record_idx keeps the reference's input
+    order (payload order, then record order within the payload) so election
+    tie-breaks match. Requires record_idx < 2^record_idx_bits; at 10^12 rows
+    switch rid to a 128-bit (two-long) key.
+    """
+    c = F.col("citation")
+    return parsed.select(
+        (F.col("row_id") * (1 << record_idx_bits) + F.col("record_idx")).alias("rid"),
+        F.lit(None).cast("string").alias("source"),
+        c["title"].alias("title"),
+        c["journal"].alias("journal"),
+        c["journal_abbr"].alias("journal_abbr"),
+        c["volume"].alias("volume"),
+        c["pages"].alias("pages"),
+        c["issn"].alias("issn"),
+        c["doi"].alias("doi"),
+        c["date"]["year"].alias("year"),
+        c["abstract_text"].alias("abstract_text"),
+    )

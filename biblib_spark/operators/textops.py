@@ -1,0 +1,159 @@
+"""Document-level text operations for large-scale training-data pipelines.
+
+Exact dedup, normalized dedup, token/quality stats, n-gram Jaccard near-dup,
+document fingerprinting, language-ID heuristic — all over a generic
+``documents(doc_id, text, ...)`` table. Everything here except the Jaccard
+verify and fingerprint is pure ``pyspark.sql.functions`` (JVM-side,
+whole-stage codegen); the oracle equivalents live in __spark_entry__.py.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType, LongType
+
+from biblib_spark.functions.minhash import make_band_keys_udf
+from biblib_spark.operators.candidates import self_join_pairs
+
+
+def norm_text_col(text: Column) -> Column:
+    """Lowercase + strip non-alphanumerics (ASCII) — SQL-expressible twin of
+    the title normalization used for candidate keys."""
+    return F.regexp_replace(F.lower(text), "[^a-z0-9]", "")
+
+
+def token_count_col(text: Column) -> Column:
+    return F.size(F.split(F.trim(text), r"\s+"))
+
+
+def exact_dup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups by md5 of raw text (hash-groupBy — one shuffle,
+    partial aggregation map-side)."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("rep_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def normalized_dup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Duplicate groups after lowercase/alnum normalization."""
+    return (
+        docs.groupBy(F.md5(norm_text_col(F.col(text_col))).alias("norm_hash"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("rep_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def doc_stats(docs: DataFrame) -> DataFrame:
+    """Per-document token/char statistics + a simple quality score."""
+    tokens = token_count_col(F.col("text"))
+    chars_no_space = F.length(F.regexp_replace(F.col("text"), r"\s", ""))
+    the_count = (
+        (F.length(F.col("text")) - F.length(F.replace(F.col("text"), F.lit(" the "))))
+        / F.lit(5)
+    ).cast("long")
+    return docs.select(
+        "doc_id",
+        tokens.alias("token_count"),
+        chars_no_space.alias("char_count"),
+        the_count.alias("the_count"),
+        F.round(chars_no_space / tokens, 4).alias("avg_token_len"),
+    )
+
+
+def lang_summary(docs: DataFrame) -> DataFrame:
+    """Per-language corpus summary (token counting at corpus granularity)."""
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count_col(F.col("text"))).alias("total_tokens"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+    )
+
+
+def elect_lang_representative(docs: DataFrame) -> DataFrame:
+    """M10-shaped election in pure SQL: one representative doc per language
+    (longest text, doc_id tie-break)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("lang", F.col("doc_id").alias("rep_doc_id"), "n_chars")
+    )
+
+
+@pandas_udf(DoubleType())
+def _jaccard_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Exact 3-gram Jaccard over normalized text (verify step)."""
+
+    def sh(t: object) -> set[str]:
+        if not isinstance(t, str) or len(t) < 3:
+            return {t} if isinstance(t, str) and t else set()
+        return {t[i : i + 3] for i in range(len(t) - 2)}
+
+    out = []
+    for x, y in zip(a, b):
+        sa, sb = sh(x), sh(y)
+        u = len(sa | sb)
+        out.append(len(sa & sb) / u if u else 0.0)
+    return pd.Series(out, dtype="float64")
+
+
+def near_dup_pairs_minhash(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    shingle_k: int = 5,
+    num_perm: int = 128,
+    bands: int = 32,
+    seed: int = 97,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """MinHash-LSH candidates + exact n-gram Jaccard verify (>= threshold).
+
+    The classic shingle -> minhash -> band -> bucket-join near-dup pipeline;
+    returns (a, b, jaccard) with a < b (doc ids).
+    """
+    lsh = make_band_keys_udf(shingle_k, num_perm, bands, seed)
+    feat = docs.select(
+        F.col("doc_id").alias("rid"), norm_text_col(F.col("text")).alias("norm_text")
+    ).withColumn("lsh_keys", lsh("norm_text"))
+    keyed = feat.select(F.explode("lsh_keys").alias("lsh_key"), "rid")
+    pairs = self_join_pairs(keyed, ["lsh_key"], max_bucket).distinct()
+    fa = feat.select(F.col("rid").alias("a_rid"), F.col("norm_text").alias("a_text"))
+    fb = feat.select(F.col("rid").alias("b_rid"), F.col("norm_text").alias("b_text"))
+    j = (
+        pairs.join(fa, pairs["a"] == fa["a_rid"])
+        .join(fb, pairs["b"] == fb["b_rid"])
+        .withColumn("jaccard", _jaccard_udf("a_text", "b_text"))
+    )
+    return j.filter(F.col("jaccard") >= threshold).select(
+        "a", "b", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
+@pandas_udf(LongType())
+def fingerprint_udf(texts: pd.Series) -> pd.Series:
+    """Deterministic 63-bit document fingerprint (crc32 rolling combine)."""
+
+    def _one(t: object) -> int:
+        if not isinstance(t, str):
+            return 0
+        h = 17
+        data = t.encode("utf-8")
+        for i in range(0, len(data), 64):
+            h = (h * 1099511628211 + zlib.crc32(data[i : i + 64])) & ((1 << 63) - 1)
+        return h
+
+    return texts.map(_one)

@@ -1,0 +1,123 @@
+"""Pair verification — the reference duplicate predicate (M4-M8).
+
+reference: src/dedupe.rs:594-655. Field matches are native SQL expressions
+(whole-stage codegen); only the title similarity crosses into Python, as one
+Arrow-batched pandas UDF computing jaro (both DOIs present) or jaro_winkler
+(otherwise) per pair — strsim-0.11.1-parity kernels.
+
+Null semantics preserved exactly:
+- journal_match: 4-way equality over normalized journal/abbr; NULL never
+  matches, but ''=='' does (format_journal_name("") == Some("")).
+- issn_match: any pairwise equality; empty lists never match.
+- volumes_match: both normalized non-empty and equal.
+- pages_match: both non-NULL and RAW strings equal (pages were already
+  format_page_numbers'd at parse time — dedupe.rs:619-621).
+- years_match: NULL == NULL is TRUE (dedupe.rs:622-623,707-709) -> eqNullSafe.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
+
+from biblib_spark.kernels.similarity import jaro, jaro_winkler
+
+DOI_TITLE_SIMILARITY_THRESHOLD = 0.85  # dedupe.rs:141
+NO_DOI_TITLE_SIMILARITY_THRESHOLD = 0.93  # dedupe.rs:142
+
+_FEATURE_COLS = [
+    "rid",
+    "norm_title",
+    "norm_journal",
+    "norm_journal_abbr",
+    "norm_volume",
+    "norm_issn",
+    "pages",
+    "doi",
+    "year",
+]
+
+
+@pandas_udf(DoubleType())
+def _title_sim_udf(t1: pd.Series, t2: pd.Series, both_doi: pd.Series) -> pd.Series:
+    out = []
+    for a, b, jd in zip(t1, t2, both_doi):
+        a = a if isinstance(a, str) else ""
+        b = b if isinstance(b, str) else ""
+        out.append(jaro(a, b) if jd else jaro_winkler(a, b))
+    return pd.Series(out, dtype="float64")
+
+
+def _side(feat: DataFrame, side: str) -> DataFrame:
+    return feat.select(
+        *[F.col(c).alias(f"{side}_{c}") for c in _FEATURE_COLS]
+    )
+
+
+def verify_pairs(pairs: DataFrame, feat: DataFrame) -> DataFrame:
+    """Candidate pairs (a, b) -> verified duplicate pairs (a, b).
+
+    Two hash joins pull in both sides' preprocessed features (M3: normalized
+    once, never recomputed per pair).
+    """
+    j = (
+        pairs.join(_side(feat, "a"), pairs["a"] == F.col("a_rid"))
+        .join(_side(feat, "b"), pairs["b"] == F.col("b_rid"))
+    )
+
+    def _coal(c):
+        return F.coalesce(c, F.lit(False))
+
+    journal_match = _coal(
+        (F.col("a_norm_journal") == F.col("b_norm_journal"))
+    ) | _coal(
+        (F.col("a_norm_journal_abbr") == F.col("b_norm_journal_abbr"))
+    ) | _coal(
+        (F.col("a_norm_journal") == F.col("b_norm_journal_abbr"))
+    ) | _coal(
+        (F.col("a_norm_journal_abbr") == F.col("b_norm_journal"))
+    )
+    issn_match = _coal(F.arrays_overlap("a_norm_issn", "b_norm_issn"))
+    volumes_match = (
+        (F.col("a_norm_volume") != "")
+        & (F.col("b_norm_volume") != "")
+        & (F.col("a_norm_volume") == F.col("b_norm_volume"))
+    )
+    pages_match = (
+        F.col("a_pages").isNotNull()
+        & F.col("b_pages").isNotNull()
+        & (F.col("a_pages") == F.col("b_pages"))
+    )
+    years_match = F.col("a_year").eqNullSafe(F.col("b_year"))
+
+    a_doi_ok = F.col("a_doi").isNotNull() & (F.col("a_doi") != "")
+    b_doi_ok = F.col("b_doi").isNotNull() & (F.col("b_doi") != "")
+    both_doi = a_doi_ok & b_doi_ok
+    doi_eq = _coal(F.col("a_doi") == F.col("b_doi"))
+
+    sim = _title_sim_udf(F.col("a_norm_title"), F.col("b_norm_title"), both_doi)
+
+    with_doi = (
+        (doi_eq & (sim >= DOI_TITLE_SIMILARITY_THRESHOLD) & (journal_match | issn_match))
+        | (doi_eq & (sim >= 0.99) & (volumes_match | pages_match))
+        | (
+            (sim >= 0.99)
+            & years_match
+            & (volumes_match | pages_match)
+            & (journal_match | issn_match)
+        )
+    )
+    without_doi = (
+        (
+            (sim >= NO_DOI_TITLE_SIMILARITY_THRESHOLD)
+            & (volumes_match | pages_match)
+            & (journal_match | issn_match)
+        )
+        | ((sim >= 0.99) & years_match & volumes_match & pages_match)
+    )
+
+    is_dup = F.when(both_doi, with_doi).otherwise(without_doi)
+    return j.filter(is_dup).select("a", "b")

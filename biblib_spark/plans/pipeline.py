@@ -1,0 +1,61 @@
+"""End-to-end resumable pipeline: corpus -> parse -> dedupe -> clusters.
+
+Stages checkpoint to ``work_dir`` with _STAGE_OK markers (C8); re-running
+with the same work_dir resumes after the last completed stage. The lineage
+entry records an order-insensitive aggregate of the input content hashes so
+a resume against different input is detectable.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from biblib_spark.operators.dedupe import DedupConfig, dedupe_records, records_from_parsed
+from biblib_spark.plans.checkpoint import run_stage
+from biblib_spark.sources.parse import parse_corpus, parse_corpus_quarantine
+
+
+def _input_fingerprint(corpus: DataFrame) -> dict:
+    row = corpus.select(
+        F.count(F.lit(1)).alias("n"),
+        # order-insensitive: xor of per-row 64-bit content hashes (xor, not
+        # sum — sum overflows long under ANSI mode)
+        F.expr("bit_xor(xxhash64(content))").alias("hxor"),
+    ).collect()[0]
+    return {"input_rows": row["n"], "input_hash_xor": int(row["hxor"] or 0)}
+
+
+def run_pipeline(
+    spark: SparkSession,
+    corpus: DataFrame,
+    work_dir: str,
+    cfg: DedupConfig | None = None,
+    with_quarantine: bool = True,
+) -> DataFrame:
+    """Returns the clusters DataFrame (rid, cluster_id, is_unique, source)."""
+    cfg = cfg or DedupConfig()
+    lineage = _input_fingerprint(corpus)
+
+    parsed = run_stage(
+        spark,
+        os.path.join(work_dir, "parsed"),
+        lambda: parse_corpus(corpus),
+        lineage,
+    )
+    if with_quarantine:
+        run_stage(
+            spark,
+            os.path.join(work_dir, "quarantine"),
+            lambda: parse_corpus_quarantine(corpus),
+            lineage,
+        )
+    clusters = run_stage(
+        spark,
+        os.path.join(work_dir, "clusters"),
+        lambda: dedupe_records(records_from_parsed(parsed), cfg),
+        lineage,
+    )
+    return clusters

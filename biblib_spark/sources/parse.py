@@ -1,0 +1,149 @@
+"""The parse stage: corpus rows -> (parsed citation rows, quarantine rows).
+
+Spark shape (SURVEY.md §3.1): one projection computes ``content_sha`` and the
+detected ``format``; one ``mapInPandas`` runs the per-format Python kernels
+over Arrow batches and emits already-exploded citation rows with a
+``record_idx`` that preserves per-payload record order. Parsing is
+embarrassingly parallel per content row — no shuffle in this stage; the only
+JVM<->Python boundary is the Arrow batch transfer.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from biblib_spark.kernels import detect
+from biblib_spark.kernels.enw import parse_enw
+from biblib_spark.kernels.pubmed import parse_pubmed
+from biblib_spark.kernels.ris import parse_ris
+from biblib_spark.schema import PARSED_SCHEMA, QUARANTINE_SCHEMA
+
+# Parser registry: format label -> kernel returning (citations, errors).
+# Formats land here as their kernels are implemented (SURVEY.md §7.2).
+PARSERS: dict[str, Callable[[str], tuple[list[dict], list[dict]]]] = {
+    detect.FMT_RIS: parse_ris,
+    detect.FMT_PUBMED: parse_pubmed,
+    detect.FMT_ENW: parse_enw,
+}
+
+
+def register_parser(
+    fmt: str, fn: Callable[[str], tuple[list[dict], list[dict]]]
+) -> None:
+    PARSERS[fmt] = fn
+
+
+def with_ingest_columns(corpus: DataFrame) -> DataFrame:
+    """Add ``content_sha`` (the per-row invariant vs the reference,
+    BASELINE.json input_hint) and the detected ``format``.
+
+    Format detection is a cheap prefix/contains check — done in the Python
+    kernel during parse; here we only add the sha (JVM-side, codegen).
+    """
+    return corpus.withColumn("content_sha", F.sha2(F.col("content"), 256))
+
+
+def _parse_partition(
+    batches: Iterator[pd.DataFrame], quarantine: bool
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out: dict[str, list[Any]] = {
+            "content_sha": [],
+            "row_id": [],
+            "record_idx": [],
+            "format": [],
+        }
+        recs: list[Any] = []
+        for sha, row_id, content in zip(
+            pdf["content_sha"], pdf["row_id"], pdf["content"]
+        ):
+            text = content if isinstance(content, str) else ""
+            fmt = detect.detect_format(text)
+            parser = PARSERS.get(fmt)
+            if parser is None:
+                if quarantine and fmt == detect.FMT_UNKNOWN:
+                    out["content_sha"].append(sha)
+                    out["row_id"].append(row_id)
+                    out["record_idx"].append(0)
+                    out["format"].append(fmt)
+                    recs.append(
+                        {
+                            "error_line": None,
+                            "error_span": None,
+                            "error_kind": "unknown_format",
+                            "error_msg": "Unknown or unsupported citation format",
+                        }
+                    )
+                continue
+            citations, errors = parser(text)
+            if quarantine:
+                for err in errors:
+                    out["content_sha"].append(sha)
+                    out["row_id"].append(row_id)
+                    out["record_idx"].append(0)
+                    out["format"].append(fmt)
+                    recs.append(
+                        {
+                            "error_line": err.get("error_line"),
+                            "error_span": err.get("error_span"),
+                            "error_kind": err.get("error_kind"),
+                            "error_msg": err.get("error_msg"),
+                        }
+                    )
+            else:
+                for idx, citation in enumerate(citations):
+                    out["content_sha"].append(sha)
+                    out["row_id"].append(row_id)
+                    out["record_idx"].append(idx)
+                    out["format"].append(fmt)
+                    recs.append(citation)
+        result = pd.DataFrame(out)
+        if quarantine:
+            result["error_line"] = pd.Series(
+                [r["error_line"] for r in recs], dtype="object"
+            )
+            result["error_span"] = pd.Series(
+                [r["error_span"] for r in recs], dtype="object"
+            )
+            result["error_kind"] = [r["error_kind"] for r in recs]
+            result["error_msg"] = [r["error_msg"] for r in recs]
+            result = result[
+                [
+                    "content_sha",
+                    "row_id",
+                    "format",
+                    "error_line",
+                    "error_span",
+                    "error_kind",
+                    "error_msg",
+                ]
+            ]
+        else:
+            result["citation"] = pd.Series(recs, dtype="object")
+        yield result
+
+
+def parse_corpus(corpus: DataFrame) -> DataFrame:
+    """Corpus -> parsed citation rows (PARSED_SCHEMA)."""
+    ingested = with_ingest_columns(corpus).select("content_sha", "row_id", "content")
+    return ingested.mapInPandas(
+        lambda it: _parse_partition(it, quarantine=False), schema=PARSED_SCHEMA
+    )
+
+
+def parse_corpus_quarantine(corpus: DataFrame) -> DataFrame:
+    """Corpus -> quarantine rows (QUARANTINE_SCHEMA) for records that failed.
+
+    Runs the same kernels; at 100 TB you'd compute both outputs in one pass
+    and fork the writer — kept as two scans here for plan simplicity, each
+    scan prunes to (content_sha, row_id, content) only.
+    """
+    ingested = with_ingest_columns(corpus).select("content_sha", "row_id", "content")
+    return ingested.mapInPandas(
+        lambda it: _parse_partition(it, quarantine=True), schema=QUARANTINE_SCHEMA
+    )

@@ -1,0 +1,197 @@
+"""Spark dedup pipeline vs reference semantics.
+
+Scenario tests port /root/reference/src/dedupe.rs:873-969,1141-1349; the
+recall harness asserts dup-pair recall >= 0.99 (BASELINE.json) against the
+greedy-reference oracle in reference_impl.py on the synthetic corpus.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from biblib_spark.operators.dedupe import DedupConfig, dedupe_records
+from tests.reference_impl import (
+    RefConfig,
+    pairs_from_groups,
+    reference_find_duplicates,
+)
+
+RECORD_SCHEMA = T.StructType(
+    [
+        T.StructField("rid", T.LongType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("journal", T.StringType()),
+        T.StructField("journal_abbr", T.StringType()),
+        T.StructField("volume", T.StringType()),
+        T.StructField("pages", T.StringType()),
+        T.StructField("issn", T.ArrayType(T.StringType())),
+        T.StructField("doi", T.StringType()),
+        T.StructField("year", T.IntegerType()),
+        T.StructField("abstract_text", T.StringType()),
+    ]
+)
+
+
+def _rec(rid, title, doi=None, journal=None, journal_abbr=None, volume=None,
+         pages=None, issn=None, year=None, abstract=None, source=None):
+    return {
+        "rid": rid, "source": source, "title": title, "journal": journal,
+        "journal_abbr": journal_abbr, "volume": volume, "pages": pages,
+        "issn": issn or [], "doi": doi, "year": year, "abstract_text": abstract,
+    }
+
+
+def _run(spark, recs, cfg=None):
+    df = spark.createDataFrame(recs, schema=RECORD_SCHEMA)
+    rows = dedupe_records(df, cfg).collect()
+    clusters: dict[int, list] = {}
+    uniques: dict[int, int] = {}
+    for r in rows:
+        clusters.setdefault(r.cluster_id, []).append(r.rid)
+        if r.is_unique:
+            uniques[r.cluster_id] = r.rid
+    return rows, clusters, uniques
+
+
+def _spark_pairs(clusters):
+    out = set()
+    for members in clusters.values():
+        ms = sorted(members)
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                out.add((ms[i], ms[j]))
+    return out
+
+
+def test_find_duplicates_doi_basic(spark):
+    # dedupe.rs:873-923
+    recs = [
+        _rec(0, "Title 1", doi="10.1234/abc", journal="Journal 1", year=2020),
+        _rec(1, "Title 1", doi="10.1234/abc", journal="Journal 1", year=2020),
+        _rec(2, "Title 2", doi="10.1234/def", journal="Journal 2", year=2020),
+    ]
+    _, clusters, _ = _run(spark, recs)
+    assert len(clusters) == 2
+    assert sorted(map(sorted, clusters.values())) == [[0, 1], [2]]
+
+
+def test_missing_doi_falls_to_jw_branch(spark):
+    # dedupe.rs:926-969 — empty-string DOI means the pair uses jaro_winkler
+    recs = [
+        _rec(0, "Title 1", doi="10.1234/abc", journal="Journal 1", volume="24", year=2020),
+        _rec(1, "Title 1", doi="", journal="Journal 1", volume="24", year=2020),
+        _rec(2, "Title 2", doi="", journal="Journal 2", year=2020),
+    ]
+    _, clusters, _ = _run(spark, recs)
+    assert len(clusters) == 2
+    assert sorted(map(sorted, clusters.values())) == [[0, 1], [2]]
+
+
+def test_year_blocking(spark):
+    # dedupe.rs:1141-1183 — same record in different years
+    recs = [
+        _rec(0, "Title 1", doi="10.1234/abc", journal="Journal 1", year=2020),
+        _rec(1, "Title 1", doi="10.1234/abc", journal="Journal 1", year=2019),
+    ]
+    # default: year grouping on → no match across years
+    _, clusters, _ = _run(spark, recs)
+    assert len(clusters) == 2
+    # grouping off → one group
+    _, clusters, _ = _run(spark, recs, DedupConfig(group_by_year=False))
+    assert len(clusters) == 1
+
+
+def test_null_years_share_one_block(spark):
+    # dedupe.rs:695-705 — missing years form block 0 and can match each other
+    recs = [
+        _rec(0, "Shared Title", doi="10.1/x", journal="J", year=None),
+        _rec(1, "Shared Title", doi="10.1/x", journal="J", year=None),
+    ]
+    _, clusters, _ = _run(spark, recs)
+    assert len(clusters) == 1
+
+
+def test_source_preferences(spark):
+    # dedupe.rs:1186-1228
+    recs = [
+        _rec(0, "Title 1", doi="10.1234/abc", journal="Journal 1", year=2020, source="source2"),
+        _rec(1, "Title 1", doi="10.1234/abc", journal="Journal 1", year=2020, source="source1"),
+    ]
+    cfg = DedupConfig(source_preferences=["source1", "source2"])
+    _, clusters, uniques = _run(spark, recs, cfg)
+    assert len(clusters) == 1
+    assert list(uniques.values()) == [1]
+
+
+def test_abstract_preference(spark):
+    # dedupe.rs:1231-1266
+    recs = [
+        _rec(0, "Title 1", doi="10.1234/abc", journal="Journal 1", year=2020),
+        _rec(1, "Title 1", doi="10.1234/abc", journal="Journal 1", year=2020,
+             abstract="Abstract"),
+    ]
+    _, clusters, uniques = _run(spark, recs)
+    assert len(clusters) == 1
+    assert list(uniques.values()) == [1]
+
+
+def test_source_preferences_with_year_grouping(spark):
+    # dedupe.rs:1269-1349
+    recs = [
+        _rec(0, "Test Article 2020", doi="10.1234/test2020", journal="Test Journal",
+             year=2020, source="Embase"),
+        _rec(1, "Test Article 2020", doi="10.1234/test2020", journal="Test Journal",
+             year=2020, source="PubMed"),
+        _rec(2, "Test Article 2021", doi="10.1234/test2021", journal="Test Journal",
+             year=2021, source="Embase"),
+        _rec(3, "Test Article 2021", doi="10.1234/test2021", journal="Test Journal",
+             year=2021, source="PubMed"),
+    ]
+    cfg = DedupConfig(source_preferences=["PubMed", "Embase"])
+    _, clusters, uniques = _run(spark, recs, cfg)
+    assert len(clusters) == 2
+    assert sorted(uniques.values()) == [1, 3]
+    for members in clusters.values():
+        assert len(members) == 2
+
+
+def test_title_normalization_in_matching(spark):
+    # punctuation/HTML/Greek variants normalize identically (dedupe.rs:723-740)
+    recs = [
+        _rec(0, "Machine Learning! (2<sup>nd</sup> Edition)", doi="10.1/ml",
+             journal="J. ML", year=2021),
+        _rec(1, "machine learning 2nd edition", doi="10.1/ml",
+             journal="J. ML", year=2021),
+    ]
+    _, clusters, _ = _run(spark, recs)
+    assert len(clusters) == 1
+
+
+@pytest.mark.slow
+def test_recall_vs_reference_on_synthetic_corpus(spark):
+    """Dup-pair recall >= 0.99 vs the greedy-reference oracle (BASELINE.json)."""
+    from biblib_spark.corpus import make_corpus
+    from biblib_spark.operators.dedupe import records_from_parsed
+    from biblib_spark.sources.parse import parse_corpus
+
+    corpus = make_corpus(spark, num_payloads=300, records_per_payload=6, seed=7)
+    parsed = parse_corpus(corpus)
+    records = records_from_parsed(parsed)
+
+    # oracle: same records through the greedy reference implementation
+    local = records.orderBy("rid").collect()
+    cits = [r.asDict() for r in local]
+    rid_by_pos = [c["rid"] for c in cits]
+    expected_groups = reference_find_duplicates(cits, RefConfig())
+    expected_pairs = {
+        (rid_by_pos[a], rid_by_pos[b]) for a, b in pairs_from_groups(expected_groups)
+    }
+    assert len(expected_pairs) > 100, "corpus should contain real duplicates"
+
+    _, clusters, _ = _run(spark, cits)
+    got_pairs = _spark_pairs(clusters)
+
+    recall = len(expected_pairs & got_pairs) / len(expected_pairs)
+    assert recall >= 0.99, f"dup-pair recall {recall:.4f} < 0.99"
