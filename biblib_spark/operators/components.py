@@ -37,22 +37,26 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
         .localCheckpoint(eager=True)
     )
 
-    prev_sum = None
-    for _ in range(max_iter):
+    def one_round(lbl):
         # each vertex receives its neighbors' current labels
-        msgs = (
-            sym.join(labels, sym["dst"] == labels["rid"])
-            .select(F.col("src").alias("rid"), "label")
+        msgs = sym.join(lbl, sym["dst"] == lbl["rid"]).select(
+            F.col("src").alias("rid"), "label"
         )
-        new_labels = (
-            labels.select("rid", "label")
+        return (
+            lbl.select("rid", "label")
             .unionByName(msgs)
             .groupBy("rid")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
         )
-        cur_sum = new_labels.agg(F.sum("label")).collect()[0][0]
-        labels = new_labels
+
+    # two propagation rounds per materialization: duplicate clusters are
+    # star/clique shaped (diameter <= ~3), so most runs finish in two blocks;
+    # batching halves the number of Spark jobs (the loop's cost at scale is
+    # job scheduling + checkpoint I/O, not compute)
+    prev_sum = None
+    for _ in range(max_iter // 2 + 1):
+        labels = one_round(one_round(labels)).localCheckpoint(eager=True)
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if prev_sum is not None and cur_sum == prev_sum:
             break
         prev_sum = cur_sum

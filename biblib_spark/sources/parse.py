@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from biblib_spark.kernels import detect
+from biblib_spark.kernels.csvfmt import parse_csv, parse_ictrp_csv
 from biblib_spark.kernels.enw import parse_enw
 from biblib_spark.kernels.pubmed import parse_pubmed
 from biblib_spark.kernels.ris import parse_ris
@@ -25,10 +26,14 @@ from biblib_spark.schema import PARSED_SCHEMA, QUARANTINE_SCHEMA
 
 # Parser registry: format label -> kernel returning (citations, errors).
 # Formats land here as their kernels are implemented (SURVEY.md §7.2).
+# Generic CSV is registered but never auto-detected (lib.rs:468) — it only
+# runs when a corpus row's format column is explicitly "CSV".
 PARSERS: dict[str, Callable[[str], tuple[list[dict], list[dict]]]] = {
     detect.FMT_RIS: parse_ris,
     detect.FMT_PUBMED: parse_pubmed,
     detect.FMT_ENW: parse_enw,
+    detect.FMT_ICTRP_CSV: parse_ictrp_csv,
+    detect.FMT_CSV: parse_csv,
 }
 
 
