@@ -19,7 +19,9 @@ from pyspark.sql import functions as F
 
 from biblib_spark.kernels import detect
 from biblib_spark.kernels.csvfmt import parse_csv, parse_ictrp_csv
+from biblib_spark.kernels.endnote_xml import parse_endnote_xml
 from biblib_spark.kernels.enw import parse_enw
+from biblib_spark.kernels.ictrp_xml import parse_ictrp_xml
 from biblib_spark.kernels.pubmed import parse_pubmed
 from biblib_spark.kernels.ris import parse_ris
 from biblib_spark.schema import PARSED_SCHEMA, QUARANTINE_SCHEMA
@@ -34,6 +36,8 @@ PARSERS: dict[str, Callable[[str], tuple[list[dict], list[dict]]]] = {
     detect.FMT_ENW: parse_enw,
     detect.FMT_ICTRP_CSV: parse_ictrp_csv,
     detect.FMT_CSV: parse_csv,
+    detect.FMT_ENDNOTE_XML: parse_endnote_xml,
+    detect.FMT_ICTRP_XML: parse_ictrp_xml,
 }
 
 
