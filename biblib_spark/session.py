@@ -39,7 +39,18 @@ def get_spark(
         # 300 MB corpus, serializing the parse UDF); at warehouse scale the
         # default is fine because files are plentiful
         .config("spark.sql.files.maxPartitionBytes", "8m")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
+        # shuffle + checkpoint blocks on tmpfs: /tmp sits on a single virtual
+        # disk whose bandwidth does not grow with cores; with 128 GiB RAM the
+        # spill path belongs in memory (on a real cluster this is local NVMe
+        # per executor)
+        .config(
+            "spark.local.dir",
+            os.environ.get(
+                "SPARK_LOCAL_DIRS",
+                "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp",
+            ),
+        )
     )
     return builder.getOrCreate()

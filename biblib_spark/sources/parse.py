@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from biblib_spark.kernels import detect
+from biblib_spark.kernels.bib import parse_bib
 from biblib_spark.kernels.csvfmt import parse_csv, parse_ictrp_csv
 from biblib_spark.kernels.endnote_xml import parse_endnote_xml
 from biblib_spark.kernels.enw import parse_enw
@@ -38,6 +39,7 @@ PARSERS: dict[str, Callable[[str], tuple[list[dict], list[dict]]]] = {
     detect.FMT_CSV: parse_csv,
     detect.FMT_ENDNOTE_XML: parse_endnote_xml,
     detect.FMT_ICTRP_XML: parse_ictrp_xml,
+    detect.FMT_BIB: parse_bib,
 }
 
 
