@@ -167,6 +167,47 @@ def _q_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_parts_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = _lineitem(spark, sf_dir)
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    rev = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_partkey", "p_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("p_partkey").asc())
+    return (
+        rev.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 15)
+    )
+
+
+def _q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    with_gap = events.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+    )
+    return with_gap.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("new_session").alias("n_sessions"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
 def _q_near_dup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from biblib_spark.operators.textops import near_dup_pairs_minhash
 
@@ -214,6 +255,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": _q_tpch_q1,
         "top_customers": _q_top_customers,
         "events_by_type": _q_events_by_type,
+        "parts_revenue": _q_parts_revenue,
+        "user_sessions": _q_user_sessions,
         # non-SQL-expressible (rows-only checks)
         "near_dup_minhash": _q_near_dup_minhash,
         "ann_topk_lsh": _q_ann_topk_lsh,
@@ -305,5 +348,28 @@ def oracle_sql() -> dict[str, str]:
             " round(avg(value), 4) AS avg_value,"
             " round(sum(value), 2) AS sum_value"
             " FROM events GROUP BY event_type"
+        ),
+        "parts_revenue": (
+            "WITH rev AS (SELECT p_partkey, p_name,"
+            "  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,"
+            "  round(sum(l_quantity), 2) AS total_qty"
+            " FROM lineitem JOIN part ON l_partkey = p_partkey"
+            " GROUP BY p_partkey, p_name),"
+            " ranked AS (SELECT *, row_number() OVER"
+            "  (ORDER BY revenue DESC, p_partkey ASC) AS rnk FROM rev)"
+            " SELECT p_partkey, p_name, revenue, total_qty, rnk"
+            " FROM ranked WHERE rnk <= 15"
+        ),
+        "user_sessions": (
+            "WITH g AS (SELECT user_id, event_type,"
+            "  CASE WHEN lag(ts) OVER (PARTITION BY user_id"
+            "         ORDER BY ts ASC, event_id ASC) IS NULL"
+            "    OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id"
+            "         ORDER BY ts ASC, event_id ASC)) > 1800"
+            "  THEN 1 ELSE 0 END AS new_session FROM events)"
+            " SELECT user_id, count(*) AS n_events,"
+            "  sum(new_session) AS n_sessions,"
+            "  count(DISTINCT event_type) AS n_types"
+            " FROM g GROUP BY user_id"
         ),
     }

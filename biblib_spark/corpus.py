@@ -116,7 +116,20 @@ def _variant_fields(w: int, k: int, seed: int) -> dict:
     elif k == 3:
         f["journal"] = None
         f["issn"] = None
-    f["abstract"] = f"Abstract for work {w}, variant {k}." if k % 2 == 0 else None
+    if k % 2 == 0:
+        # realistic payload mass: real exports carry multi-hundred-char
+        # abstracts; sentence count/words are deterministic per (w, k)
+        n_sent = 3 + _h(seed, "ns", w, k) % 4
+        sentences = []
+        for s in range(n_sent):
+            nw = 9 + _h(seed, "sw", w, k, s) % 8
+            words = [
+                _WORDS[_h(seed, "aw", w, k, s, i) % len(_WORDS)] for i in range(nw)
+            ]
+            sentences.append(" ".join(words).capitalize() + ".")
+        f["abstract"] = " ".join(sentences)
+    else:
+        f["abstract"] = None
     return f
 
 

@@ -22,7 +22,6 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from biblib_spark.operators.candidates import candidate_pairs
 from biblib_spark.operators.components import assign_clusters
@@ -44,7 +43,9 @@ class DedupConfig:
     max_bucket: int = 64  # C7 star-policy cap per candidate bucket
     simhash_enabled: bool = True
     simhash_max_title: int = 24
-    exact_title_tier: bool = True
+    # redundant while LSH is on (identical normalized titles -> identical
+    # signatures -> same band buckets); enable when LSH is configured off
+    exact_title_tier: bool = False
 
 
 # columns dedupe_records expects on its input
@@ -162,18 +163,9 @@ def preprocess(records: DataFrame, cfg: DedupConfig) -> DataFrame:
     return records.mapInPandas(_fn, out_schema)
 
 
-def dedupe_records(records: DataFrame, cfg: DedupConfig | None = None) -> DataFrame:
-    """(RECORD_COLS) -> (rid, cluster_id, is_unique, source).
-
-    Matches reference cluster semantics with dup-pair recall 1.0 relative to
-    the predicate over generated candidates (see tests/reference_impl.py for
-    the fixture oracle).
-    """
+def dedupe_features(feat: DataFrame, cfg: DedupConfig | None = None) -> DataFrame:
+    """Preprocessed+materialized features -> (rid, cluster_id, is_unique, source)."""
     cfg = cfg or DedupConfig()
-    # persisted once, consumed by candidates, verify and election; the cache
-    # must outlive the returned (lazy) DataFrame — callers that want the
-    # memory back should checkpoint/write the result then unpersist
-    feat = preprocess(records, cfg).persist(StorageLevel.MEMORY_AND_DISK)
     pairs = candidate_pairs(feat, cfg)
     dup_edges = verify_pairs(pairs, feat)
     clustered = assign_clusters(feat.select("rid"), dup_edges)
@@ -182,6 +174,159 @@ def dedupe_records(records: DataFrame, cfg: DedupConfig | None = None) -> DataFr
     )
     elected = elect_representatives(enriched, cfg.source_preferences)
     return elected.select("rid", "cluster_id", "is_unique", "source")
+
+
+def dedupe_records(records: DataFrame, cfg: DedupConfig | None = None) -> DataFrame:
+    """(RECORD_COLS) -> (rid, cluster_id, is_unique, source).
+
+    Matches reference cluster semantics with dup-pair recall 1.0 relative to
+    the predicate over generated candidates (see tests/reference_impl.py for
+    the fixture oracle).
+    """
+    cfg = cfg or DedupConfig()
+    # EAGERLY materialized once: the candidate tiers fan out into several
+    # concurrent branches of one job, and a lazy cache would be racily
+    # recomputed by each branch (parse + MinHash x4). localCheckpoint also
+    # truncates lineage for the downstream iterative CC joins.
+    feat = preprocess(records, cfg).localCheckpoint(eager=True)
+    return dedupe_features(feat, cfg)
+
+
+def features_from_corpus(
+    corpus: DataFrame, cfg: DedupConfig | None = None, record_idx_bits: int = 20
+) -> DataFrame:
+    """Fused fast path: corpus -> dedup features in ONE mapInPandas.
+
+    Parse + flatten + normalize + MinHash/SimHash in a single Python pass —
+    one JVM<->Python Arrow round-trip instead of two, and only the ~10 slim
+    columns the matcher reads (never the full citation struct with its
+    array/map fields). ``abstract_text`` is reduced to a one-char presence
+    marker — the election cascade only tests presence (dedupe.rs:513-530).
+    """
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from biblib_spark.functions.minhash import (
+        _perm_params,
+        band_keys,
+        minhash_signature,
+        shingles,
+    )
+    from biblib_spark.functions.simhash import simhash64
+    from biblib_spark.kernels import detect
+    from biblib_spark.kernels.norm import (
+        format_issn,
+        format_journal_name,
+        normalize_title,
+        normalize_volume,
+    )
+
+    cfg = cfg or DedupConfig()
+    schema = StructType(
+        [
+            StructField("rid", LongType(), False),
+            StructField("source", StringType()),
+            StructField("doi", StringType()),
+            StructField("year", IntegerType()),
+            StructField("pages", StringType()),
+            StructField("abstract_text", StringType()),
+            StructField("norm_title", StringType()),
+            StructField("norm_journal", StringType()),
+            StructField("norm_journal_abbr", StringType()),
+            StructField("norm_volume", StringType()),
+            StructField("norm_issn", ArrayType(StringType())),
+            StructField("year_key", IntegerType(), False),
+            StructField("lsh_keys", ArrayType(LongType())),
+            StructField("simhash_keys", ArrayType(LongType())),
+        ]
+    )
+    k, num_perm, bands, seed = cfg.shingle_k, cfg.num_perm, cfg.bands, cfg.minhash_seed
+    group_by_year = cfg.group_by_year
+    simhash_on, sim_max = cfg.simhash_enabled, cfg.simhash_max_title
+    shift = 1 << record_idx_bits
+
+    def _fn(batches):
+        from biblib_spark.sources.parse import PARSERS
+
+        a, b = _perm_params(num_perm, seed)
+
+        def lsh(t):
+            if not t:
+                return []
+            sig = minhash_signature(shingles(t, k), a, b)
+            return [] if sig is None else band_keys(sig, bands)
+
+        for pdf in batches:
+            cols: dict[str, list] = {f.name: [] for f in schema.fields}
+            for row_id, content in zip(pdf["row_id"], pdf["content"]):
+                text = content if isinstance(content, str) else ""
+                parser = PARSERS.get(detect.detect_format(text))
+                if parser is None:
+                    continue
+                citations, _errors = parser(text)
+                for idx, c in enumerate(citations):
+                    nt = normalize_title(c["title"] or "") or ""
+                    year = c["date"]["year"] if c["date"] else None
+                    cols["rid"].append(int(row_id) * shift + idx)
+                    cols["source"].append(None)
+                    cols["doi"].append(c["doi"])
+                    cols["year"].append(year)
+                    cols["pages"].append(c["pages"])
+                    cols["abstract_text"].append(
+                        "x" if c["abstract_text"] is not None else None
+                    )
+                    cols["norm_title"].append(nt)
+                    cols["norm_journal"].append(
+                        format_journal_name(c["journal"])
+                        if c["journal"] is not None
+                        else None
+                    )
+                    cols["norm_journal_abbr"].append(
+                        format_journal_name(c["journal_abbr"])
+                        if c["journal_abbr"] is not None
+                        else None
+                    )
+                    cols["norm_volume"].append(
+                        normalize_volume(c["volume"]) if c["volume"] is not None else ""
+                    )
+                    cols["norm_issn"].append(
+                        [
+                            f
+                            for f in (format_issn(v) for v in c["issn"] or [])
+                            if f is not None
+                        ]
+                    )
+                    cols["year_key"].append(
+                        (year if year is not None else 0) if group_by_year else 0
+                    )
+                    cols["lsh_keys"].append(lsh(nt))
+                    if simhash_on and nt and len(nt) <= sim_max:
+                        h = simhash64(nt, k)
+                        cols["simhash_keys"].append(
+                            [(q << 16 | ((h >> (16 * q)) & 0xFFFF)) for q in range(4)]
+                        )
+                    else:
+                        cols["simhash_keys"].append([])
+            out = pd.DataFrame(cols)
+            out["year"] = out["year"].astype("object")
+            out["year_key"] = out["year_key"].astype("int32")
+            yield out
+
+    return corpus.select("row_id", "content").mapInPandas(_fn, schema)
+
+
+def dedupe_corpus(corpus: DataFrame, cfg: DedupConfig | None = None) -> DataFrame:
+    """Corpus table -> clusters via the fused fast path."""
+    cfg = cfg or DedupConfig()
+    feat = features_from_corpus(corpus, cfg).localCheckpoint(eager=True)
+    return dedupe_features(feat, cfg)
 
 
 def records_from_parsed(parsed: DataFrame, record_idx_bits: int = 20) -> DataFrame:

@@ -20,9 +20,9 @@ def get_spark(
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
-        # ~1 partition per core locally; on a cluster this scales with
-        # executors (or is left to AQE coalescing).
-        shuffle_partitions = max(cores, 8)
+        # several waves per core so stragglers don't idle the fleet; AQE
+        # coalesces the small ones back together
+        shuffle_partitions = max(cores * 3, 24)
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
@@ -38,7 +38,9 @@ def get_spark(
         # fans out across all cores (default 128m gives 2-3 tasks for a
         # 300 MB corpus, serializing the parse UDF); at warehouse scale the
         # default is fine because files are plentiful
-        .config("spark.sql.files.maxPartitionBytes", "8m")
+        # fine enough that task waves stay balanced at local[32] (a coarse
+        # split leaves the last wave mostly idle); AQE re-coalesces shuffles
+        .config("spark.sql.files.maxPartitionBytes", "3m")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         # shuffle + checkpoint blocks on tmpfs: /tmp sits on a single virtual
