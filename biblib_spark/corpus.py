@@ -177,14 +177,23 @@ def _pubmed_record(w: int, k: int, seed: int) -> str:
     return "\n".join(lines)
 
 
+def payload_format(p: int) -> str:
+    """Even payloads export RIS, odd payloads PubMed .nbib — variants of one
+    work land in BOTH formats, so clusters span formats."""
+    return "RIS" if p % 2 == 0 else "PubMed"
+
+
 def payload_text(p: int, records_per_payload: int, seed: int) -> str:
-    """RIS payload for payload index ``p`` — records are the existing slots
-    in the global slot range [p*rpp, (p+1)*rpp)."""
+    """Payload for index ``p`` — records are the existing slots in the global
+    slot range [p*rpp, (p+1)*rpp), serialized in the payload's format."""
+    fmt = payload_format(p)
     records = []
     for slot in range(p * records_per_payload, (p + 1) * records_per_payload):
         w, k = divmod(slot, SLOTS_PER_WORK)
         if k < n_variants(w, seed):
-            records.append(_ris_record(w, k, seed))
+            records.append(
+                _ris_record(w, k, seed) if fmt == "RIS" else _pubmed_record(w, k, seed)
+            )
     return "\n\n".join(records) + ("\n" if records else "")
 
 
@@ -195,15 +204,17 @@ def _gen_partition(
         rows = []
         for p in pdf["id"]:
             p = int(p)
+            fmt = payload_format(p)
+            ext = "ris" if fmt == "RIS" else "nbib"
             content = payload_text(p, records_per_payload, seed)
             commit = hashlib.sha256(f"c{seed}-{p}".encode()).hexdigest()[:40]
             rows.append(
                 {
                     "row_id": p,
                     "repo": f"org{p % 97}/src{p % 1009}",
-                    "path": f"refs/ris/{p}.ris",
+                    "path": f"refs/{ext}/{p}.{ext}",
                     "commit": commit,
-                    "lang": "RIS",
+                    "lang": fmt,
                     "content": content,
                 }
             )

@@ -267,7 +267,8 @@ def features_from_corpus(
             cols: dict[str, list] = {f.name: [] for f in schema.fields}
             for row_id, content in zip(pdf["row_id"], pdf["content"]):
                 text = content if isinstance(content, str) else ""
-                parser = PARSERS.get(detect.detect_format(text))
+                fmt = detect.detect_format(text)
+                parser = PARSERS.get(fmt)
                 if parser is None:
                     continue
                 citations, _errors = parser(text)
@@ -275,7 +276,10 @@ def features_from_corpus(
                     nt = normalize_title(c["title"] or "") or ""
                     year = c["date"]["year"] if c["date"] else None
                     cols["rid"].append(int(row_id) * shift + idx)
-                    cols["source"].append(None)
+                    # M12 sources-zip: the per-record source register; the
+                    # detected format label stands in for it (a real ingest
+                    # would carry an explicit source column)
+                    cols["source"].append(fmt)
                     cols["doi"].append(c["doi"])
                     cols["year"].append(year)
                     cols["pages"].append(c["pages"])

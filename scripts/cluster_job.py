@@ -28,7 +28,7 @@ def main() -> None:
     # materialize the input table first — the north_rule pipeline reads an
     # Iceberg/parquet table, so input synthesis is not part of the measured
     # clustering window
-    corpus_path = f"/tmp/biblib_corpus_v4_{num_payloads}_{seed}.parquet"
+    corpus_path = f"/tmp/biblib_corpus_v5_{num_payloads}_{seed}.parquet"
     if not os.path.exists(corpus_path):
         make_corpus(spark, num_payloads, records_per_payload=6, seed=seed).write.mode(
             "overwrite"

@@ -10,10 +10,11 @@ from biblib_spark.sources.parse import parse_corpus, parse_corpus_quarantine
 
 
 def test_corpus_deterministic():
-    a = payload_text(3, 6, seed=42)
-    b = payload_text(3, 6, seed=42)
-    assert a == b
+    a = payload_text(2, 6, seed=42)
+    assert a == payload_text(2, 6, seed=42)
     assert detect_format(a) == "RIS"
+    b = payload_text(3, 6, seed=42)
+    assert detect_format(b) == "PubMed"
 
 
 def test_parse_corpus_counts_and_schema(spark):

@@ -54,3 +54,33 @@ def test_fused_path_matches_staged_path(spark):
     s = {(r.rid, r.cluster_id, r.is_unique) for r in staged.collect()}
     f = {(r.rid, r.cluster_id, r.is_unique) for r in fused.collect()}
     assert s == f and len(s) > 0
+
+
+def test_source_preferences_cross_format(spark):
+    """M12 end-to-end: clusters span RIS and PubMed payloads; preferring the
+    PubMed source must elect a PubMed-parsed record in mixed clusters."""
+    from pyspark.sql import functions as F
+
+    from biblib_spark.operators.dedupe import (
+        DedupConfig,
+        dedupe_features,
+        features_from_corpus,
+    )
+
+    corpus = make_corpus(spark, 160, seed=31)
+    cfg = DedupConfig(source_preferences=["PubMed", "RIS"])
+    feat = features_from_corpus(corpus, cfg).localCheckpoint(eager=True)
+    out = dedupe_features(feat, cfg)
+
+    stats = (
+        out.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("source").alias("n_sources"),
+            F.max(F.when(F.col("is_unique"), F.col("source"))).alias("winner"),
+        )
+    )
+    mixed = stats.filter(F.col("n_sources") > 1)
+    n_mixed = mixed.count()
+    assert n_mixed > 5, "expected cross-format clusters"
+    assert mixed.filter(F.col("winner") != "PubMed").count() == 0
