@@ -103,6 +103,20 @@ def candidate_pairs(feat: DataFrame, cfg) -> DataFrame:
                 "year_key", F.xxhash64(F.lit("sim"), F.col("k")).alias("bkey"), "rid"
             )
         )
+    if cfg.prefix_tier:
+        # C4 containment/truncation tier: titles whose differences live in
+        # the tail (truncated exports, appended subtitles) share a prefix
+        # even when band hashes diverge; boilerplate prefixes are tamed by
+        # the same star cap as every other bucket
+        tiers.append(
+            feat.filter(F.length("norm_title") >= cfg.prefix_len).select(
+                "year_key",
+                F.xxhash64(
+                    F.lit("prefix"), F.substring("norm_title", 1, cfg.prefix_len)
+                ).alias("bkey"),
+                "rid",
+            )
+        )
 
     keyed = tiers[0]
     for t in tiers[1:]:

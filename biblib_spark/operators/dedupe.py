@@ -46,6 +46,9 @@ class DedupConfig:
     # redundant while LSH is on (identical normalized titles -> identical
     # signatures -> same band buckets); enable when LSH is configured off
     exact_title_tier: bool = False
+    # C4 containment tier: join on the first prefix_len chars of norm_title
+    prefix_tier: bool = True
+    prefix_len: int = 24
 
 
 # columns dedupe_records expects on its input

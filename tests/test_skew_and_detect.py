@@ -1,0 +1,148 @@
+"""Skew handling (C7 star policy) and format-dispatch matrix (S2)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from biblib_spark.kernels.detect import detect_format
+
+
+def test_detect_format_matrix():
+    """Dispatch order parity with lib.rs:380-469."""
+    cases = [
+        ("", "Unknown"),
+        ("   \n ", "Unknown"),
+        ("TY  - JOUR\nTI  - T\nER  -", "RIS"),
+        ("Record #1\nTY  - JOUR\nER  -", "RIS"),
+        ("PMID- 123\nTI  - T\n", "PubMed"),
+        ("some preamble\nPMID- 123\n", "PubMed"),
+        ("%0 Journal Article\n%T T\n", "EndNote Tagged"),
+        ("@article{k, title={T}}", "BibTeX / BibLaTeX"),
+        ('<?xml version="1.0"?><xml><records/></xml>', "EndNote XML"),
+        ("<xml><records/></xml>", "EndNote XML"),
+        (
+            "<?xml version='1.0'?><Trials_downloaded_from_ICTRP>"
+            "<Trial><TrialID>X</TrialID></Trial></Trials_downloaded_from_ICTRP>",
+            "ICTRP XML",
+        ),
+        (
+            "TrialID,Public title,Scientific title,Date registration,Source Register\n"
+            "N1,P,S,01/05/2026,Reg\n",
+            "ICTRP CSV",
+        ),
+        # generic CSV is never auto-detected (lib.rs:468)
+        ("Title,Author,Year\nT,A,2023\n", "Unknown"),
+        # ICTRP XML beats the generic XML branch even with an xml prolog
+        # (checked before EndNote XML, lib.rs:389-397)
+    ]
+    for content, expected in cases:
+        assert detect_format(content) == expected, content[:40]
+
+
+@pytest.fixture(scope="module")
+def skew_clusters(spark):
+    """1 mega-bucket (one boilerplate title, shared year+journal+volume+pages)
+    of 300 records — way over max_bucket — plus normal records."""
+    from pyspark.sql import types as T
+
+    from biblib_spark.operators.dedupe import DedupConfig, dedupe_records
+
+    schema = T.StructType(
+        [
+            T.StructField("rid", T.LongType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("title", T.StringType()),
+            T.StructField("journal", T.StringType()),
+            T.StructField("journal_abbr", T.StringType()),
+            T.StructField("volume", T.StringType()),
+            T.StructField("pages", T.StringType()),
+            T.StructField("issn", T.ArrayType(T.StringType())),
+            T.StructField("doi", T.StringType()),
+            T.StructField("year", T.IntegerType()),
+            T.StructField("abstract_text", T.StringType()),
+        ]
+    )
+    hot = [
+        {
+            "rid": i, "source": None,
+            "title": "Annual report of the surveillance committee",
+            "journal": "Bulletin", "journal_abbr": None, "volume": "1",
+            "pages": "1-10", "issn": [], "doi": "10.1/boilerplate",
+            "year": 2000, "abstract_text": None,
+        }
+        for i in range(300)
+    ]
+    cold = [
+        {
+            "rid": 1000 + i, "source": None, "title": f"Unique study {i} zqv",
+            "journal": f"J{i}", "journal_abbr": None, "volume": str(i),
+            "pages": f"{i}-{i+1}", "issn": [], "doi": f"10.9/u{i}",
+            "year": 2000, "abstract_text": None,
+        }
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(hot + cold, schema=schema)
+    cfg = DedupConfig(max_bucket=64)  # 300 >> 64 triggers the star policy
+    return dedupe_records(df, cfg).collect()
+
+
+def test_star_policy_recovers_mega_cluster(skew_clusters):
+    rows = skew_clusters
+    hot_clusters = {r.cluster_id for r in rows if r.rid < 1000}
+    # star pairs against the bucket seed + CC must still produce ONE cluster
+    assert hot_clusters == {0}
+    winners = [r.rid for r in rows if r.rid < 1000 and r.is_unique]
+    assert winners == [0]
+
+
+def test_star_policy_leaves_singletons_alone(skew_clusters):
+    rows = skew_clusters
+    cold = [r for r in rows if r.rid >= 1000]
+    assert all(r.cluster_id == r.rid and r.is_unique for r in cold)
+
+
+def test_prefix_tier_catches_truncation_pairs(spark):
+    """C4: a truncated-title duplicate whose band hashes diverge is still
+    found through the shared-prefix bucket + the jaro>=0.85 DOI arm."""
+    from pyspark.sql import types as T
+
+    from biblib_spark.operators.dedupe import DedupConfig, dedupe_records
+
+    schema = T.StructType(
+        [
+            T.StructField("rid", T.LongType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("title", T.StringType()),
+            T.StructField("journal", T.StringType()),
+            T.StructField("journal_abbr", T.StringType()),
+            T.StructField("volume", T.StringType()),
+            T.StructField("pages", T.StringType()),
+            T.StructField("issn", T.ArrayType(T.StringType())),
+            T.StructField("doi", T.StringType()),
+            T.StructField("year", T.IntegerType()),
+            T.StructField("abstract_text", T.StringType()),
+        ]
+    )
+    full = "Comparative outcomes of laparoscopic versus open surgery trial"
+    truncated = full[:52]  # tail chopped; prefix identical
+    recs = [
+        {"rid": 0, "source": None, "title": full, "journal": "J Surg",
+         "journal_abbr": None, "volume": "9", "pages": "1-9", "issn": [],
+         "doi": "10.5/trunc", "year": 2010, "abstract_text": None},
+        {"rid": 1, "source": None, "title": truncated, "journal": "J Surg",
+         "journal_abbr": None, "volume": "9", "pages": "1-9", "issn": [],
+         "doi": "10.5/trunc", "year": 2010, "abstract_text": None},
+    ]
+    df = spark.createDataFrame(recs, schema=schema)
+
+    # sanity: the pair passes the reference predicate (jaro >= 0.85, same DOI,
+    # journal match) — the question is only whether candidates surface it
+    from biblib_spark.kernels.norm import normalize_title
+    from biblib_spark.kernels.similarity import jaro
+
+    assert jaro(normalize_title(full), normalize_title(truncated)) >= 0.85
+
+    with_prefix = dedupe_records(df, DedupConfig(prefix_tier=True)).collect()
+    clusters = {r.cluster_id for r in with_prefix}
+    assert len(clusters) == 1, "prefix tier should surface the truncation pair"
