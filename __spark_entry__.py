@@ -208,6 +208,32 @@ def _q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biblib_spark.operators.textops import lang_id_heuristic
+
+    return lang_id_heuristic(_docs(spark, sf_dir))
+
+
+def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: synthetic binary media -> features + exact-dup
+    groups (decode stubbed deterministically; see operators/multimodal.py).
+    Rows-only check (binary columns are not DuckDB-view material)."""
+    from biblib_spark.operators.multimodal import (
+        extract_media_features,
+        make_synthetic_media,
+        media_dedup_exact,
+    )
+
+    media = make_synthetic_media(spark, 300)
+    feats = extract_media_features(media)
+    dups = media_dedup_exact(media)
+    return feats.join(
+        dups.select(F.col("rep_id").alias("media_id"), "n_copies"),
+        "media_id",
+        "left",
+    ).select("media_id", "kind", "n_bytes", "content_crc", "n_copies")
+
+
 def _q_near_dup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from biblib_spark.operators.textops import near_dup_pairs_minhash
 
@@ -257,7 +283,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_by_type": _q_events_by_type,
         "parts_revenue": _q_parts_revenue,
         "user_sessions": _q_user_sessions,
+        "lang_id": _q_lang_id,
         # non-SQL-expressible (rows-only checks)
+        "media_features": _q_media_features,
         "near_dup_minhash": _q_near_dup_minhash,
         "ann_topk_lsh": _q_ann_topk_lsh,
         "doc_fingerprints": _q_doc_fingerprints,
@@ -359,6 +387,19 @@ def oracle_sql() -> dict[str, str]:
             "  (ORDER BY revenue DESC, p_partkey ASC) AS rnk FROM rev)"
             " SELECT p_partkey, p_name, revenue, total_qty, rnk"
             " FROM ranked WHERE rnk <= 15"
+        ),
+        "lang_id": (
+            "WITH p AS (SELECT doc_id, ' ' || lower(text) || ' ' AS t FROM documents),"
+            " m AS (SELECT doc_id,"
+            "  ((length(t) - length(replace(t, ' the ', ''))) / 5)::BIGINT AS en_markers,"
+            "  ((length(t) - length(replace(t, ' la ', ''))) / 4)::BIGINT AS es_markers,"
+            "  ((length(t) - length(replace(t, ' der ', ''))) / 5)::BIGINT AS de_markers"
+            " FROM p)"
+            " SELECT doc_id, en_markers, es_markers, de_markers,"
+            "  CASE WHEN en_markers >= es_markers AND en_markers >= de_markers THEN 'en'"
+            "       WHEN es_markers >= de_markers THEN 'es' ELSE 'de' END"
+            "    AS predicted_lang"
+            " FROM m"
         ),
         "user_sessions": (
             "WITH g AS (SELECT user_id, event_type,"

@@ -157,3 +157,35 @@ def fingerprint_udf(texts: pd.Series) -> pd.Series:
         return h
 
     return texts.map(_one)
+
+
+def _marker_count(text: Column, marker: str) -> Column:
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(marker))))
+        / F.lit(len(marker))
+    ).cast("long")
+
+
+def lang_id_heuristic(docs: DataFrame) -> DataFrame:
+    """Stopword-marker language ID (n-gram heuristic, SQL-expressible).
+
+    Counts per-language function-word markers and predicts the argmax —
+    the shape of a real fastText-style scorer with the model swapped for
+    three countable features, so the oracle can replay it exactly.
+    """
+    padded = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+    en = _marker_count(padded, " the ")
+    es = _marker_count(padded, " la ")
+    de = _marker_count(padded, " der ")
+    pred = (
+        F.when((en >= es) & (en >= de), F.lit("en"))
+        .when(es >= de, F.lit("es"))
+        .otherwise(F.lit("de"))
+    )
+    return docs.select(
+        "doc_id",
+        en.alias("en_markers"),
+        es.alias("es_markers"),
+        de.alias("de_markers"),
+        pred.alias("predicted_lang"),
+    )
