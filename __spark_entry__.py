@@ -129,7 +129,7 @@ def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from biblib_spark.operators.topk import topk_ranked
 
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     li = _lineitem(spark, sf_dir)
@@ -149,12 +149,11 @@ def _q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("c_custkey").alias("custkey"), "c_name", "revenue", "n_orders"
     )
-    w = Window.orderBy(F.col("revenue").desc(), F.col("custkey").asc())
-    return (
-        joined.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 20)
-        .select("custkey", "c_name", "revenue", "n_orders", F.col("rnk").cast("long").alias("rnk"))
-    )
+    # parallel top-k (TakeOrderedAndProject) + k-row broadcast rank — no
+    # global window, no single-partition shuffle of the aggregated result
+    return topk_ranked(
+        joined, [("revenue", "desc"), ("custkey", "asc")], 20
+    ).select("custkey", "c_name", "revenue", "n_orders", "rnk")
 
 
 def _q_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -168,7 +167,7 @@ def _q_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_parts_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from biblib_spark.operators.topk import topk_ranked
 
     li = _lineitem(spark, sf_dir)
     part = spark.read.parquet(f"{sf_dir}/part.parquet")
@@ -182,11 +181,9 @@ def _q_parts_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_quantity"), 2).alias("total_qty"),
         )
     )
-    w = Window.orderBy(F.col("revenue").desc(), F.col("p_partkey").asc())
-    return (
-        rev.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= 15)
-    )
+    return topk_ranked(
+        rev, [("revenue", "desc"), ("p_partkey", "asc")], 15
+    ).select("p_partkey", "p_name", "revenue", "total_qty", "rnk")
 
 
 def _q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -409,7 +406,7 @@ def oracle_sql() -> dict[str, str]:
             "         ORDER BY ts ASC, event_id ASC)) > 1800"
             "  THEN 1 ELSE 0 END AS new_session FROM events)"
             " SELECT user_id, count(*) AS n_events,"
-            "  sum(new_session) AS n_sessions,"
+            "  sum(new_session)::BIGINT AS n_sessions,"
             "  count(DISTINCT event_type) AS n_types"
             " FROM g GROUP BY user_id"
         ),

@@ -56,7 +56,11 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     prev_sum = None
     for _ in range(max_iter // 2 + 1):
         labels = one_round(one_round(labels)).localCheckpoint(eager=True)
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        # decimal(38,0) sum: rids reach ~2^63 at 10^12-record scale, where a
+        # LongType sum would wrap silently (non-ANSI) and could fake a fixpoint
+        cur_sum = labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).collect()[0][0]
         if prev_sum is not None and cur_sum == prev_sum:
             break
         prev_sum = cur_sum

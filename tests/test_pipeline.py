@@ -40,6 +40,66 @@ def test_pipeline_resume(spark):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def test_resume_with_changed_input_rebuilds(spark):
+    """C8: a work_dir resumed against DIFFERENT input must rebuild, not
+    silently return the stale stage (marker lineage comparison)."""
+    work = tempfile.mkdtemp(prefix="pipeline_relineage_")
+    try:
+        n1 = run_pipeline(spark, make_corpus(spark, 60, seed=1), work).count()
+        n2 = run_pipeline(spark, make_corpus(spark, 90, seed=2), work).count()
+        assert n2 != n1  # rebuilt from the new corpus, not resumed
+        marker = read_marker(os.path.join(work, "parsed"))
+        assert marker["lineage"]["input_rows"] == 90
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def test_resume_detects_tampered_partition(spark):
+    """C8: per-partition lineage counters catch a corrupted/replaced file."""
+    import glob
+
+    import pytest
+
+    from biblib_spark.plans.checkpoint import (
+        StageIntegrityError,
+        run_stage,
+        verify_stage,
+    )
+
+    work = tempfile.mkdtemp(prefix="stage_tamper_")
+    path = os.path.join(work, "stage")
+    try:
+        df = spark.range(0, 1000, numPartitions=4).withColumnRenamed("id", "v")
+        run_stage(spark, path, lambda: df)
+        marker = read_marker(path)
+        assert len(marker["partitions"]) >= 2
+        assert marker["rows"] == 1000
+        assert verify_stage(spark, path) == []
+
+        # tamper: replace one data file with a different one
+        files = sorted(glob.glob(os.path.join(path, "part-*.parquet")))
+        spark.range(0, 7).withColumnRenamed("id", "v").coalesce(
+            1
+        ).write.mode("overwrite").parquet(os.path.join(work, "evil"))
+        evil = glob.glob(os.path.join(work, "evil", "part-*.parquet"))[0]
+        shutil.copyfile(evil, files[0])
+        # drop the local-FS checksum sidecar: on S3/HDFS there is none, and
+        # the point is that OUR per-partition lineage catches the swap
+        crc = os.path.join(path, f".{os.path.basename(files[0])}.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+
+        assert verify_stage(spark, path) != []
+        with pytest.raises(StageIntegrityError):
+            run_stage(spark, path, lambda: df)
+        # on_corrupt='rebuild' recovers
+        out = run_stage(spark, path, lambda: df, on_corrupt="rebuild")
+        assert out.count() == 1000
+        assert verify_stage(spark, path) == []
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def test_fused_path_matches_staged_path(spark):
     from biblib_spark.operators.dedupe import (
         dedupe_corpus,
