@@ -267,6 +267,199 @@ def _q_citation_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# citation-engine fixture queries (oracle-checked M/C operators)
+#
+# The fixture parquet (built pure-Python from the same kernels — see
+# biblib_spark/fixtures.py) is read by BOTH the Spark query and the DuckDB
+# oracle; the oracle re-implements the operator independently in SQL.
+# DuckDB's jaro_similarity matches the strsim-parity kernel bit-for-bit on
+# the fixture; jaro_winkler is recomputed in SQL (uncapped-prefix Winkler
+# correction, strsim 0.11.1 semantics) because DuckDB's builtin caps the
+# prefix at 4 chars.
+# ---------------------------------------------------------------------------
+
+
+def _fixture(spark: SparkSession):
+    from biblib_spark.fixtures import (
+        CLUSTERS,
+        FEATURES,
+        PAIRS,
+        ensure_oracle_fixture,
+    )
+
+    ensure_oracle_fixture()
+    return (
+        spark.read.parquet(FEATURES),
+        spark.read.parquet(PAIRS),
+        spark.read.parquet(CLUSTERS),
+    )
+
+
+def _q_cite_verify_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4-M8: the reference duplicate predicate over all within-year pairs."""
+    from biblib_spark.operators.verify import verify_pairs
+
+    feat, pairs, _ = _fixture(spark)
+    return verify_pairs(pairs, feat)
+
+
+def _q_cite_identity_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1: exact-identity candidate pairs (doi / pmid / accession_number)."""
+    from biblib_spark.operators.candidates import identity_keyed, self_join_pairs
+
+    feat, _, _ = _fixture(spark)
+    keyed = identity_keyed(feat)
+    return self_join_pairs(keyed, ["year_key", "bkey"], max_bucket=1 << 20).distinct()
+
+
+def _q_cite_year_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1: year blocking (null year -> block 0)."""
+    feat, _, _ = _fixture(spark)
+    return feat.groupBy("year_key").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.count(F.when(F.col("doi").isNotNull() & (F.col("doi") != ""), 1)).alias(
+            "n_with_doi"
+        ),
+        F.min("rid").alias("min_rid"),
+    )
+
+
+def _q_cite_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4-M8 + C6 + M11: verify -> connected components -> singleton passthrough."""
+    from biblib_spark.operators.components import assign_clusters
+    from biblib_spark.operators.verify import verify_pairs
+
+    feat, pairs, _ = _fixture(spark)
+    edges = verify_pairs(pairs, feat)
+    return assign_clusters(feat.select("rid"), edges)
+
+
+def _q_cite_election_prefs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M10 arm 1: source-preference cascade (PubMed > RIS)."""
+    from biblib_spark.operators.election import elect_representatives
+
+    _, _, clusters = _fixture(spark)
+    return elect_representatives(clusters, ["PubMed", "RIS"]).select(
+        "rid", "cluster_id", F.col("is_unique").cast("int").alias("is_unique")
+    )
+
+
+def _q_cite_election_abstract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M10 arm 2: no preferences -> abstract/DOI cascade."""
+    from biblib_spark.operators.election import elect_representatives
+
+    _, _, clusters = _fixture(spark)
+    return elect_representatives(clusters, []).select(
+        "rid", "cluster_id", F.col("is_unique").cast("int").alias("is_unique")
+    )
+
+
+def _cite_oracles() -> dict[str, str]:
+    from biblib_spark.fixtures import CLUSTERS, FEATURES, PAIRS
+
+    # shared CTE: field matches + strsim-parity similarity for every
+    # within-year candidate pair (reference src/dedupe.rs:594-655)
+    scored = (
+        f"f AS (SELECT * FROM read_parquet('{FEATURES}')),"
+        f" p AS (SELECT * FROM read_parquet('{PAIRS}')),"
+        " j AS (SELECT p.a, p.b, f1.norm_title AS t1, f2.norm_title AS t2,"
+        "  f1.doi AS d1, f2.doi AS d2,"
+        "  (coalesce(f1.norm_journal = f2.norm_journal, false)"
+        "   OR coalesce(f1.norm_journal_abbr = f2.norm_journal_abbr, false)"
+        "   OR coalesce(f1.norm_journal = f2.norm_journal_abbr, false)"
+        "   OR coalesce(f1.norm_journal_abbr = f2.norm_journal, false)) AS jm,"
+        "  coalesce(list_has_any(f1.norm_issn, f2.norm_issn), false) AS im,"
+        "  (f1.norm_volume <> '' AND f2.norm_volume <> ''"
+        "   AND f1.norm_volume = f2.norm_volume) AS vm,"
+        "  (f1.pages IS NOT NULL AND f2.pages IS NOT NULL"
+        "   AND f1.pages = f2.pages) AS pm,"
+        "  (f1.year IS NOT DISTINCT FROM f2.year) AS ym"
+        "  FROM p JOIN f f1 ON p.a = f1.rid JOIN f f2 ON p.b = f2.rid),"
+        " s AS (SELECT *,"
+        "  (d1 IS NOT NULL AND d1 <> '' AND d2 IS NOT NULL AND d2 <> '') AS both_doi,"
+        "  CASE WHEN t1 = '' AND t2 = '' THEN 1.0"
+        "       ELSE jaro_similarity(t1, t2) END AS jsim,"
+        "  coalesce(list_min([i FOR i IN range(1,"
+        "    least(length(t1), length(t2)) + 1)"
+        "    IF substring(t1, i, 1) <> substring(t2, i, 1)]),"
+        "   least(length(t1), length(t2)) + 1) - 1 AS pref"
+        "  FROM j),"
+        " v AS (SELECT *, CASE WHEN t1 = '' AND t2 = '' THEN 1.0"
+        "   ELSE least(jsim + 0.1 * pref * (1 - jsim), 1.0) END AS jwsim FROM s),"
+        " verified AS (SELECT a, b FROM v WHERE CASE WHEN both_doi THEN"
+        "   (coalesce(d1 = d2, false) AND jsim >= 0.85 AND (jm OR im))"
+        "   OR (coalesce(d1 = d2, false) AND jsim >= 0.99 AND (vm OR pm))"
+        "   OR (jsim >= 0.99 AND ym AND (vm OR pm) AND (jm OR im))"
+        "  ELSE"
+        "   (jwsim >= 0.93 AND (vm OR pm) AND (jm OR im))"
+        "   OR (jwsim >= 0.99 AND ym AND vm AND pm)"
+        "  END)"
+    )
+
+    election = (
+        f"WITH c AS (SELECT * FROM read_parquet('{CLUSTERS}')),"
+        " e AS (SELECT *, {pref} AS pref,"
+        "  CASE WHEN abstract_text IS NOT NULL THEN 1 ELSE 0 END AS ab,"
+        "  CASE WHEN abstract_text IS NOT NULL AND doi IS NOT NULL"
+        "   AND doi <> '' THEN 1 ELSE 0 END AS abdoi FROM c),"
+        " w AS (SELECT *, min(pref) OVER (PARTITION BY cluster_id) AS min_pref,"
+        "  sum(ab) OVER (PARTITION BY cluster_id) AS n_abs FROM e),"
+        " sc AS (SELECT *, CASE"
+        "  WHEN min_pref < 1073741824 THEN"
+        "   (CASE WHEN pref = min_pref THEN 0 ELSE 1 END)"
+        "  WHEN n_abs = 0 THEN 0"
+        "  WHEN n_abs = 1 THEN 1 - ab"
+        "  WHEN abdoi = 1 THEN 0 WHEN ab = 1 THEN 1 ELSE 2 END AS sort_class"
+        "  FROM w)"
+        " SELECT rid, cluster_id, (row_number() OVER (PARTITION BY cluster_id"
+        "  ORDER BY sort_class ASC, rid ASC) = 1)::INT AS is_unique FROM sc"
+    )
+
+    return {
+        "cite_verify_predicate": f"WITH {scored} SELECT a, b FROM verified",
+        "cite_identity_tiers": (
+            f"WITH f AS (SELECT * FROM read_parquet('{FEATURES}')),"
+            " k AS ("
+            "  SELECT year_key, 'doi' AS tier, doi AS key, rid FROM f"
+            "   WHERE doi IS NOT NULL AND doi <> ''"
+            "  UNION ALL SELECT year_key, 'pmid', pmid, rid FROM f"
+            "   WHERE pmid IS NOT NULL AND pmid <> ''"
+            "  UNION ALL SELECT year_key, 'accn', accession_number, rid FROM f"
+            "   WHERE accession_number IS NOT NULL AND accession_number <> '')"
+            " SELECT DISTINCT k1.rid AS a, k2.rid AS b FROM k k1 JOIN k k2"
+            "  ON k1.year_key = k2.year_key AND k1.tier = k2.tier"
+            "  AND k1.key = k2.key AND k1.rid < k2.rid"
+        ),
+        "cite_year_blocks": (
+            f"SELECT year_key, count(*) AS n_records,"
+            " count(*) FILTER (doi IS NOT NULL AND doi <> '') AS n_with_doi,"
+            f" min(rid) AS min_rid FROM read_parquet('{FEATURES}')"
+            " GROUP BY year_key"
+        ),
+        "cite_clusters": (
+            # C6 as a recursive CTE: min reachable rid over the symmetric
+            # verified edge set; vertices seeded with their own rid covers
+            # singleton passthrough (M11)
+            f"WITH RECURSIVE {scored},"
+            " edges AS (SELECT a AS src, b AS dst FROM verified"
+            "  UNION ALL SELECT b, a FROM verified),"
+            " cc(rid, label) AS ("
+            "  SELECT rid, rid FROM f"
+            "  UNION"
+            "  SELECT e.src, cc.label FROM edges e JOIN cc ON e.dst = cc.rid)"
+            " SELECT rid, min(label) AS cluster_id FROM cc GROUP BY rid"
+        ),
+        "cite_election_prefs": election.format(
+            pref=(
+                "CASE WHEN source = 'PubMed' THEN 0"
+                " WHEN source = 'RIS' THEN 1 ELSE 1073741824 END"
+            )
+        ),
+        "cite_election_abstract": election.format(pref="1073741824"),
+    }
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dedup": _q_exact_dedup,
@@ -281,6 +474,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_revenue": _q_parts_revenue,
         "user_sessions": _q_user_sessions,
         "lang_id": _q_lang_id,
+        # citation-engine operators over the shared oracle fixture
+        "cite_verify_predicate": _q_cite_verify_predicate,
+        "cite_identity_tiers": _q_cite_identity_tiers,
+        "cite_year_blocks": _q_cite_year_blocks,
+        "cite_clusters": _q_cite_clusters,
+        "cite_election_prefs": _q_cite_election_prefs,
+        "cite_election_abstract": _q_cite_election_abstract,
         # non-SQL-expressible (rows-only checks)
         "media_features": _q_media_features,
         "near_dup_minhash": _q_near_dup_minhash,
@@ -292,6 +492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        **_cite_oracles(),
         "exact_dedup": (
             "SELECT md5(text) AS text_hash, count(*) AS n_docs,"
             " min(doc_id) AS rep_id FROM documents GROUP BY md5(text)"

@@ -5,7 +5,8 @@ The reference compares all pairs within a year block — O(n_y²)
 candidate tiers; the reference predicate then verifies candidates only, so
 precision is reference-identical and recall is governed by tier coverage:
 
-- T0 exact identity: equi-join on the (parse-normalized) DOI
+- T0 exact identity: equi-joins on the (parse-normalized) DOI, the PMID and
+  the accession number — the reference's identity fields (src/lib.rs:299-304)
 - T1 exact normalized title: equi-join on norm_title
 - T2 MinHash-LSH band keys over norm_title shingles
 - T3 SimHash quarter keys for short titles
@@ -61,6 +62,28 @@ def self_join_pairs(
     return full_pairs.unionByName(star_pairs)
 
 
+#: C1 exact-identity tier: (tier salt, feature column). Two records sharing
+#: any identity value become candidates even when their titles diverge enough
+#: to escape every LSH band (the verify predicate still decides dup-ness).
+IDENTITY_TIERS = (("doi", "doi"), ("pmid", "pmid"), ("accn", "accession_number"))
+
+
+def identity_keyed(feat: DataFrame) -> DataFrame:
+    """(year_key, bkey, rid) rows for the exact-identity tier (C1)."""
+    parts = [
+        feat.filter(F.col(col).isNotNull() & (F.col(col) != "")).select(
+            "year_key",
+            F.xxhash64(F.lit(salt), F.col(col)).alias("bkey"),
+            "rid",
+        )
+        for salt, col in IDENTITY_TIERS
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def candidate_pairs(feat: DataFrame, cfg) -> DataFrame:
     """All tiers unioned and deduped (C5). ``feat`` must carry
     rid, year_key, doi, norm_title, lsh_keys, simhash_keys.
@@ -73,13 +96,7 @@ def candidate_pairs(feat: DataFrame, cfg) -> DataFrame:
     """
     tiers: list[DataFrame] = []
 
-    tiers.append(
-        feat.filter(F.col("doi").isNotNull() & (F.col("doi") != "")).select(
-            "year_key",
-            F.xxhash64(F.lit("doi"), F.col("doi")).alias("bkey"),
-            "rid",
-        )
-    )
+    tiers.append(identity_keyed(feat))
     if cfg.exact_title_tier:
         tiers.append(
             feat.filter(F.col("norm_title") != "").select(

@@ -51,7 +51,8 @@ class DedupConfig:
     prefix_len: int = 24
 
 
-# columns dedupe_records expects on its input
+# columns dedupe_records expects on its input; pmid / accession_number are
+# optional (filled with NULL when absent) — they only feed the C1 identity tier
 RECORD_COLS = [
     "rid",
     "source",
@@ -62,6 +63,8 @@ RECORD_COLS = [
     "pages",
     "issn",
     "doi",
+    "pmid",
+    "accession_number",
     "year",
     "abstract_text",
 ]
@@ -187,6 +190,9 @@ def dedupe_records(records: DataFrame, cfg: DedupConfig | None = None) -> DataFr
     the fixture oracle).
     """
     cfg = cfg or DedupConfig()
+    for opt in ("pmid", "accession_number"):
+        if opt not in records.columns:
+            records = records.withColumn(opt, F.lit(None).cast("string"))
     # EAGERLY materialized once: the candidate tiers fan out into several
     # concurrent branches of one job, and a lazy cache would be racily
     # recomputed by each branch (parse + MinHash x4). localCheckpoint also
@@ -196,7 +202,10 @@ def dedupe_records(records: DataFrame, cfg: DedupConfig | None = None) -> DataFr
 
 
 def features_from_corpus(
-    corpus: DataFrame, cfg: DedupConfig | None = None, record_idx_bits: int = 20
+    corpus: DataFrame,
+    cfg: DedupConfig | None = None,
+    record_idx_bits: int = 20,
+    source_col: str | None = None,
 ) -> DataFrame:
     """Fused fast path: corpus -> dedup features in ONE mapInPandas.
 
@@ -205,6 +214,12 @@ def features_from_corpus(
     columns the matcher reads (never the full citation struct with its
     array/map fields). ``abstract_text`` is reduced to a one-char presence
     marker — the election cascade only tests presence (dedupe.rs:513-530).
+
+    ``source_col`` (M12 sources-zip): name of a corpus column carrying the
+    per-payload source register (e.g. the registry feed a payload came from);
+    every citation of a payload inherits it, mirroring the reference's
+    parallel sources slice (src/dedupe.rs:403-434). When None, the detected
+    format stands in.
     """
     import pandas as pd
     from pyspark.sql.types import (
@@ -237,6 +252,8 @@ def features_from_corpus(
             StructField("rid", LongType(), False),
             StructField("source", StringType()),
             StructField("doi", StringType()),
+            StructField("pmid", StringType()),
+            StructField("accession_number", StringType()),
             StructField("year", IntegerType()),
             StructField("pages", StringType()),
             StructField("abstract_text", StringType()),
@@ -255,6 +272,8 @@ def features_from_corpus(
     simhash_on, sim_max = cfg.simhash_enabled, cfg.simhash_max_title
     shift = 1 << record_idx_bits
 
+    in_cols = ["row_id", "content"] + ([source_col] if source_col else [])
+
     def _fn(batches):
         from biblib_spark.sources.parse import PARSERS
 
@@ -268,7 +287,8 @@ def features_from_corpus(
 
         for pdf in batches:
             cols: dict[str, list] = {f.name: [] for f in schema.fields}
-            for row_id, content in zip(pdf["row_id"], pdf["content"]):
+            sources = pdf[source_col] if source_col else pdf["row_id"]
+            for row_id, content, src in zip(pdf["row_id"], pdf["content"], sources):
                 text = content if isinstance(content, str) else ""
                 fmt = detect.detect_format(text)
                 parser = PARSERS.get(fmt)
@@ -279,11 +299,12 @@ def features_from_corpus(
                     nt = normalize_title(c["title"] or "") or ""
                     year = c["date"]["year"] if c["date"] else None
                     cols["rid"].append(int(row_id) * shift + idx)
-                    # M12 sources-zip: the per-record source register; the
-                    # detected format label stands in for it (a real ingest
-                    # would carry an explicit source column)
-                    cols["source"].append(fmt)
+                    # M12 sources-zip: the per-record source register from the
+                    # user-supplied source column; detected format otherwise
+                    cols["source"].append(src if source_col else fmt)
                     cols["doi"].append(c["doi"])
+                    cols["pmid"].append(c["pmid"])
+                    cols["accession_number"].append(c["accession_number"])
                     cols["year"].append(year)
                     cols["pages"].append(c["pages"])
                     cols["abstract_text"].append(
@@ -326,13 +347,19 @@ def features_from_corpus(
             out["year_key"] = out["year_key"].astype("int32")
             yield out
 
-    return corpus.select("row_id", "content").mapInPandas(_fn, schema)
+    return corpus.select(*in_cols).mapInPandas(_fn, schema)
 
 
-def dedupe_corpus(corpus: DataFrame, cfg: DedupConfig | None = None) -> DataFrame:
+def dedupe_corpus(
+    corpus: DataFrame,
+    cfg: DedupConfig | None = None,
+    source_col: str | None = None,
+) -> DataFrame:
     """Corpus table -> clusters via the fused fast path."""
     cfg = cfg or DedupConfig()
-    feat = features_from_corpus(corpus, cfg).localCheckpoint(eager=True)
+    feat = features_from_corpus(corpus, cfg, source_col=source_col).localCheckpoint(
+        eager=True
+    )
     return dedupe_features(feat, cfg)
 
 
@@ -355,6 +382,8 @@ def records_from_parsed(parsed: DataFrame, record_idx_bits: int = 20) -> DataFra
         c["pages"].alias("pages"),
         c["issn"].alias("issn"),
         c["doi"].alias("doi"),
+        c["pmid"].alias("pmid"),
+        c["accession_number"].alias("accession_number"),
         c["date"]["year"].alias("year"),
         c["abstract_text"].alias("abstract_text"),
     )

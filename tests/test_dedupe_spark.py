@@ -169,6 +169,49 @@ def test_title_normalization_in_matching(spark):
     assert len(clusters) == 1
 
 
+def test_identity_tier_rescues_lsh_miss(spark):
+    """C1: a pair sharing a PMID (or accession number) must become a candidate
+    even when every similarity tier misses it. LSH is starved (bands=1 -> one
+    key over the whole signature, so ANY shingle diff kills it), simhash and
+    prefix tiers are off; only the identity tier can surface the pair, and the
+    reference predicate then verifies it."""
+    starved = DedupConfig(
+        bands=1, simhash_enabled=False, prefix_tier=False, exact_title_tier=False
+    )
+
+    def rec(rid, title, pmid=None, accn=None):
+        r = _rec(rid, title, journal="J Renal", volume="12", year=2001)
+        r["pmid"] = pmid
+        r["accession_number"] = accn
+        return r
+
+    recs = [
+        rec(1, "Analysis of renal outcomes", pmid="123"),
+        rec(2, "Analysis of renal outcome", pmid="123"),  # jw >= 0.93
+        rec(3, "Analysis of renal outcomes x", pmid="999"),  # no shared id
+        rec(4, "Cohort imaging of vascular markers", accn="NCT-7"),
+        rec(5, "Cohort imaging of vascular marker", accn="NCT-7"),
+    ]
+    import pyspark.sql.types as T2
+
+    schema = T2.StructType(
+        RECORD_SCHEMA.fields
+        + [
+            T2.StructField("pmid", T2.StringType()),
+            T2.StructField("accession_number", T2.StringType()),
+        ]
+    )
+    df = spark.createDataFrame(recs, schema=schema)
+    rows = dedupe_records(df, starved).collect()
+    by_cluster: dict[int, set] = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.rid)
+    groups = {frozenset(v) for v in by_cluster.values()}
+    assert frozenset({1, 2}) in groups  # pmid tier
+    assert frozenset({4, 5}) in groups  # accession tier
+    assert frozenset({3}) in groups  # different pmid -> stays singleton
+
+
 @pytest.mark.slow
 def test_recall_vs_reference_on_synthetic_corpus(spark):
     """Dup-pair recall >= 0.99 vs the greedy-reference oracle (BASELINE.json)."""

@@ -116,6 +116,37 @@ def test_fused_path_matches_staged_path(spark):
     assert s == f and len(s) > 0
 
 
+def test_explicit_source_column_drives_preferences(spark):
+    """M12: an explicit per-payload source register (independent of the
+    detected format) flows through the fused path into election."""
+    from pyspark.sql import functions as F
+
+    from biblib_spark.operators.dedupe import DedupConfig, dedupe_corpus
+
+    corpus = make_corpus(spark, 160, seed=31).withColumn(
+        "feed", F.concat(F.lit("reg-"), (F.col("row_id") % 3).cast("string"))
+    )
+    cfg = DedupConfig(source_preferences=["reg-2", "reg-0", "reg-1"])
+    out = dedupe_corpus(corpus, cfg, source_col="feed")
+
+    assert set(
+        r.source for r in out.select("source").distinct().collect()
+    ) == {"reg-0", "reg-1", "reg-2"}
+    stats = out.groupBy("cluster_id").agg(
+        F.collect_set("source").alias("sources"),
+        F.max(F.when(F.col("is_unique"), F.col("source"))).alias("winner"),
+    )
+    with_r2 = stats.filter(F.array_contains("sources", "reg-2"))
+    assert with_r2.count() > 5
+    assert with_r2.filter(F.col("winner") != "reg-2").count() == 0
+    # clusters without reg-2 fall to the next preference
+    no_r2 = stats.filter(
+        ~F.array_contains("sources", "reg-2")
+        & F.array_contains("sources", "reg-0")
+    )
+    assert no_r2.filter(F.col("winner") != "reg-0").count() == 0
+
+
 def test_source_preferences_cross_format(spark):
     """M12 end-to-end: clusters span RIS and PubMed payloads; preferring the
     PubMed source must elect a PubMed-parsed record in mixed clusters."""
