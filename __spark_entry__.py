@@ -335,6 +335,20 @@ def _q_cite_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign_clusters(feat.select("rid"), edges)
 
 
+def _q_cite_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4: affix-key admission (prefix/suffix slices) + substring verify arm,
+    entirely JVM-side expressions."""
+    from biblib_spark.operators.candidates import affix_keyed, self_join_pairs
+    from biblib_spark.operators.verify import containment_pairs
+
+    feat, _, _ = _fixture(spark)
+    keyed = affix_keyed(feat, "prefix", 24).unionByName(
+        affix_keyed(feat, "suffix", 24)
+    )
+    cand = self_join_pairs(keyed, ["year_key", "bkey"], max_bucket=1 << 20).distinct()
+    return containment_pairs(cand, feat, min_len=20)
+
+
 def _q_cite_election_prefs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M10 arm 1: source-preference cascade (PubMed > RIS)."""
     from biblib_spark.operators.election import elect_representatives
@@ -450,6 +464,35 @@ def _cite_oracles() -> dict[str, str]:
             "  SELECT e.src, cc.label FROM edges e JOIN cc ON e.dst = cc.rid)"
             " SELECT rid, min(label) AS cluster_id FROM cc GROUP BY rid"
         ),
+        "cite_containment": (
+            f"WITH f AS (SELECT * FROM read_parquet('{FEATURES}')),"
+            " keyed AS ("
+            "  SELECT year_key, 'p' AS tier, substring(norm_title, 1, 24) AS key,"
+            "   rid FROM f WHERE length(norm_title) >= 24"
+            "  UNION ALL SELECT year_key, 's',"
+            "   substring(norm_title, length(norm_title) - 23, 24), rid"
+            "   FROM f WHERE length(norm_title) >= 24),"
+            " cand AS (SELECT DISTINCT k1.rid AS a, k2.rid AS b FROM keyed k1"
+            "  JOIN keyed k2 ON k1.year_key = k2.year_key AND k1.tier = k2.tier"
+            "  AND k1.key = k2.key AND k1.rid < k2.rid),"
+            " j AS (SELECT cand.a, cand.b,"
+            "  f1.norm_title AS t1, f2.norm_title AS t2,"
+            "  (coalesce(f1.norm_journal = f2.norm_journal, false)"
+            "   OR coalesce(f1.norm_journal_abbr = f2.norm_journal_abbr, false)"
+            "   OR coalesce(f1.norm_journal = f2.norm_journal_abbr, false)"
+            "   OR coalesce(f1.norm_journal_abbr = f2.norm_journal, false)) AS jm,"
+            "  coalesce(list_has_any(f1.norm_issn, f2.norm_issn), false) AS im,"
+            "  (f1.norm_volume <> '' AND f2.norm_volume <> ''"
+            "   AND f1.norm_volume = f2.norm_volume) AS vm,"
+            "  (f1.pages IS NOT NULL AND f2.pages IS NOT NULL"
+            "   AND f1.pages = f2.pages) AS pm,"
+            "  (f1.year IS NOT DISTINCT FROM f2.year) AS ym"
+            "  FROM cand JOIN f f1 ON cand.a = f1.rid JOIN f f2 ON cand.b = f2.rid)"
+            " SELECT a, b FROM j WHERE least(length(t1), length(t2)) >= 20"
+            "  AND (CASE WHEN length(t1) <= length(t2) THEN contains(t2, t1)"
+            "       ELSE contains(t1, t2) END)"
+            "  AND ym AND (vm OR pm) AND (jm OR im)"
+        ),
         "cite_election_prefs": election.format(
             pref=(
                 "CASE WHEN source = 'PubMed' THEN 0"
@@ -479,6 +522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cite_identity_tiers": _q_cite_identity_tiers,
         "cite_year_blocks": _q_cite_year_blocks,
         "cite_clusters": _q_cite_clusters,
+        "cite_containment": _q_cite_containment,
         "cite_election_prefs": _q_cite_election_prefs,
         "cite_election_abstract": _q_cite_election_abstract,
         # non-SQL-expressible (rows-only checks)

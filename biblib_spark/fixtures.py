@@ -32,7 +32,7 @@ import os
 import shutil
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-FIXTURE_DIR = os.path.join(REPO_ROOT, ".oracle_fixture_v2")
+FIXTURE_DIR = os.path.join(REPO_ROOT, ".oracle_fixture_v3")
 FEATURES = os.path.join(FIXTURE_DIR, "features.parquet")
 PAIRS = os.path.join(FIXTURE_DIR, "pairs.parquet")
 CLUSTERS = os.path.join(FIXTURE_DIR, "clusters.parquet")
@@ -107,6 +107,20 @@ def _build_frames():
                     "work_id": w,
                 }
             )
+
+    # C4 containment rows: head-truncated copies whose jaro to the source
+    # falls below every reference threshold — only the substring arm links
+    # them. Same journal/volume/pages/year corroboration; no identity fields.
+    base = [r for r in rows if len(r["norm_title"]) >= 36]
+    stride = max(1, len(base) // 8)
+    for i, src in enumerate(base[::stride][:8]):
+        r = dict(src)
+        r["rid"] = (N_PAYLOADS + 1 + i) * SHIFT
+        r["norm_title"] = src["norm_title"][12:]
+        r["doi"] = None
+        r["pmid"] = None
+        r["accession_number"] = None
+        rows.append(r)
 
     feat = pd.DataFrame(rows)
     feat["year"] = feat["year"].astype("Int32")

@@ -84,6 +84,24 @@ def identity_keyed(feat: DataFrame) -> DataFrame:
     return out
 
 
+def affix_keyed(feat: DataFrame, which: str, length: int) -> DataFrame:
+    """C4 containment-admission keys: the first (``prefix``) or last
+    (``suffix``) ``length`` chars of norm_title. Tail-truncated/decorated
+    titles share a prefix slice even when band hashes diverge; HEAD-truncated
+    ones ('[Abstract] ...', dropped leading words) share the suffix slice.
+    Boilerplate affixes are tamed by the same star cap as every bucket."""
+    slc = (
+        F.substring("norm_title", 1, length)
+        if which == "prefix"
+        else F.substring("norm_title", -length, length)
+    )
+    return feat.filter(F.length("norm_title") >= length).select(
+        "year_key",
+        F.xxhash64(F.lit(which), slc).alias("bkey"),
+        "rid",
+    )
+
+
 def candidate_pairs(feat: DataFrame, cfg) -> DataFrame:
     """All tiers unioned and deduped (C5). ``feat`` must carry
     rid, year_key, doi, norm_title, lsh_keys, simhash_keys.
@@ -121,19 +139,9 @@ def candidate_pairs(feat: DataFrame, cfg) -> DataFrame:
             )
         )
     if cfg.prefix_tier:
-        # C4 containment/truncation tier: titles whose differences live in
-        # the tail (truncated exports, appended subtitles) share a prefix
-        # even when band hashes diverge; boilerplate prefixes are tamed by
-        # the same star cap as every other bucket
-        tiers.append(
-            feat.filter(F.length("norm_title") >= cfg.prefix_len).select(
-                "year_key",
-                F.xxhash64(
-                    F.lit("prefix"), F.substring("norm_title", 1, cfg.prefix_len)
-                ).alias("bkey"),
-                "rid",
-            )
-        )
+        tiers.append(affix_keyed(feat, "prefix", cfg.prefix_len))
+    if cfg.suffix_tier:
+        tiers.append(affix_keyed(feat, "suffix", cfg.prefix_len))
 
     keyed = tiers[0]
     for t in tiers[1:]:

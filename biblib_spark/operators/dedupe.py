@@ -46,9 +46,14 @@ class DedupConfig:
     # redundant while LSH is on (identical normalized titles -> identical
     # signatures -> same band buckets); enable when LSH is configured off
     exact_title_tier: bool = False
-    # C4 containment tier: join on the first prefix_len chars of norm_title
+    # C4 containment: candidate admission on the first/last prefix_len chars
+    # of norm_title, plus a substring verify arm for pairs whose jaro falls
+    # below the reference thresholds (truncated/decorated titles)
     prefix_tier: bool = True
+    suffix_tier: bool = True
     prefix_len: int = 24
+    containment_verify: bool = True
+    containment_min_len: int = 20
 
 
 # columns dedupe_records expects on its input; pmid / accession_number are
@@ -173,7 +178,12 @@ def dedupe_features(feat: DataFrame, cfg: DedupConfig | None = None) -> DataFram
     """Preprocessed+materialized features -> (rid, cluster_id, is_unique, source)."""
     cfg = cfg or DedupConfig()
     pairs = candidate_pairs(feat, cfg)
-    dup_edges = verify_pairs(pairs, feat)
+    dup_edges = verify_pairs(
+        pairs,
+        feat,
+        containment=cfg.containment_verify,
+        containment_min_len=cfg.containment_min_len,
+    )
     clustered = assign_clusters(feat.select("rid"), dup_edges)
     enriched = clustered.join(
         feat.select("rid", "source", "abstract_text", "doi"), "rid"

@@ -57,20 +57,12 @@ def _side(feat: DataFrame, side: str) -> DataFrame:
     )
 
 
-def verify_pairs(pairs: DataFrame, feat: DataFrame) -> DataFrame:
-    """Candidate pairs (a, b) -> verified duplicate pairs (a, b).
+def _coal(c):
+    return F.coalesce(c, F.lit(False))
 
-    Two hash joins pull in both sides' preprocessed features (M3: normalized
-    once, never recomputed per pair).
-    """
-    j = (
-        pairs.join(_side(feat, "a"), pairs["a"] == F.col("a_rid"))
-        .join(_side(feat, "b"), pairs["b"] == F.col("b_rid"))
-    )
 
-    def _coal(c):
-        return F.coalesce(c, F.lit(False))
-
+def _field_matches() -> dict:
+    """The M6-M8 field-match expressions over a joined a_/b_ pair row."""
     journal_match = _coal(
         (F.col("a_norm_journal") == F.col("b_norm_journal"))
     ) | _coal(
@@ -80,18 +72,67 @@ def verify_pairs(pairs: DataFrame, feat: DataFrame) -> DataFrame:
     ) | _coal(
         (F.col("a_norm_journal_abbr") == F.col("b_norm_journal"))
     )
-    issn_match = _coal(F.arrays_overlap("a_norm_issn", "b_norm_issn"))
-    volumes_match = (
-        (F.col("a_norm_volume") != "")
-        & (F.col("b_norm_volume") != "")
-        & (F.col("a_norm_volume") == F.col("b_norm_volume"))
+    return {
+        "journal_match": journal_match,
+        "issn_match": _coal(F.arrays_overlap("a_norm_issn", "b_norm_issn")),
+        "volumes_match": (
+            (F.col("a_norm_volume") != "")
+            & (F.col("b_norm_volume") != "")
+            & (F.col("a_norm_volume") == F.col("b_norm_volume"))
+        ),
+        "pages_match": (
+            F.col("a_pages").isNotNull()
+            & F.col("b_pages").isNotNull()
+            & (F.col("a_pages") == F.col("b_pages"))
+        ),
+        "years_match": F.col("a_year").eqNullSafe(F.col("b_year")),
+    }
+
+
+def _join_sides(pairs: DataFrame, feat: DataFrame) -> DataFrame:
+    """Two hash joins pull in both sides' preprocessed features (M3:
+    normalized once, never recomputed per pair)."""
+    return (
+        pairs.join(_side(feat, "a"), pairs["a"] == F.col("a_rid"))
+        .join(_side(feat, "b"), pairs["b"] == F.col("b_rid"))
     )
-    pages_match = (
-        F.col("a_pages").isNotNull()
-        & F.col("b_pages").isNotNull()
-        & (F.col("a_pages") == F.col("b_pages"))
+
+
+def _containment_arm(m: dict, min_len: int):
+    """C4 substring/containment arm (north_star's suffix-array substring
+    pass, re-expressed): the shorter normalized title is a strict substring
+    of the longer — a truncated export, a '[Abstract] '-style prefix, an
+    appended subtitle — which jaro scores too low to reach the reference
+    thresholds. Corroboration requirements mirror the no-DOI reference arm
+    (journal/issn AND volume/pages) plus same year, so precision stays at
+    reference level. JVM-side `contains` — no Python in this arm."""
+    t_a, t_b = F.col("a_norm_title"), F.col("b_norm_title")
+    la, lb = F.length(t_a), F.length(t_b)
+    contained = F.when(la <= lb, t_b.contains(t_a)).otherwise(t_a.contains(t_b))
+    return (
+        (F.least(la, lb) >= min_len)
+        & contained
+        & m["years_match"]
+        & (m["volumes_match"] | m["pages_match"])
+        & (m["journal_match"] | m["issn_match"])
     )
-    years_match = F.col("a_year").eqNullSafe(F.col("b_year"))
+
+
+def verify_pairs(
+    pairs: DataFrame,
+    feat: DataFrame,
+    containment: bool = False,
+    containment_min_len: int = 20,
+) -> DataFrame:
+    """Candidate pairs (a, b) -> verified duplicate pairs (a, b).
+
+    With ``containment=False`` this is exactly the reference predicate
+    (src/dedupe.rs:594-655). ``containment=True`` ORs in the C4 substring
+    arm for truncated/containment duplicates the reference's jaro thresholds
+    miss (gated by DedupConfig.containment_verify in the pipeline).
+    """
+    j = _join_sides(pairs, feat)
+    m = _field_matches()
 
     a_doi_ok = F.col("a_doi").isNotNull() & (F.col("a_doi") != "")
     b_doi_ok = F.col("b_doi").isNotNull() & (F.col("b_doi") != "")
@@ -101,23 +142,34 @@ def verify_pairs(pairs: DataFrame, feat: DataFrame) -> DataFrame:
     sim = _title_sim_udf(F.col("a_norm_title"), F.col("b_norm_title"), both_doi)
 
     with_doi = (
-        (doi_eq & (sim >= DOI_TITLE_SIMILARITY_THRESHOLD) & (journal_match | issn_match))
-        | (doi_eq & (sim >= 0.99) & (volumes_match | pages_match))
+        (doi_eq & (sim >= DOI_TITLE_SIMILARITY_THRESHOLD) & (m["journal_match"] | m["issn_match"]))
+        | (doi_eq & (sim >= 0.99) & (m["volumes_match"] | m["pages_match"]))
         | (
             (sim >= 0.99)
-            & years_match
-            & (volumes_match | pages_match)
-            & (journal_match | issn_match)
+            & m["years_match"]
+            & (m["volumes_match"] | m["pages_match"])
+            & (m["journal_match"] | m["issn_match"])
         )
     )
     without_doi = (
         (
             (sim >= NO_DOI_TITLE_SIMILARITY_THRESHOLD)
-            & (volumes_match | pages_match)
-            & (journal_match | issn_match)
+            & (m["volumes_match"] | m["pages_match"])
+            & (m["journal_match"] | m["issn_match"])
         )
-        | ((sim >= 0.99) & years_match & volumes_match & pages_match)
+        | ((sim >= 0.99) & m["years_match"] & m["volumes_match"] & m["pages_match"])
     )
 
     is_dup = F.when(both_doi, with_doi).otherwise(without_doi)
+    if containment:
+        is_dup = is_dup | _containment_arm(m, containment_min_len)
     return j.filter(is_dup).select("a", "b")
+
+
+def containment_pairs(
+    pairs: DataFrame, feat: DataFrame, min_len: int = 20
+) -> DataFrame:
+    """Pairs passing ONLY the C4 containment arm — pure JVM expressions
+    end-to-end (no similarity UDF), so the whole check stays in codegen."""
+    j = _join_sides(pairs, feat)
+    return j.filter(_containment_arm(_field_matches(), min_len)).select("a", "b")

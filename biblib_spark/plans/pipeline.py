@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from biblib_spark.operators.dedupe import DedupConfig, dedupe_records, records_from_parsed
 from biblib_spark.plans.checkpoint import run_stage
-from biblib_spark.sources.parse import parse_corpus, parse_corpus_quarantine
+from biblib_spark.sources.parse import parse_with_diagnostics, split_diagnostics
 
 
 def _input_fingerprint(corpus: DataFrame) -> dict:
@@ -33,25 +33,23 @@ def run_pipeline(
     corpus: DataFrame,
     work_dir: str,
     cfg: DedupConfig | None = None,
-    with_quarantine: bool = True,
 ) -> DataFrame:
-    """Returns the clusters DataFrame (rid, cluster_id, is_unique, source)."""
+    """Returns the clusters DataFrame (rid, cluster_id, is_unique, source).
+
+    Stage 1 parses each payload ONCE into the diagnostics union (citations +
+    quarantine rows, reference parse_with_diagnostics); the parsed and
+    quarantine views are filters over that single checkpointed scan.
+    """
     cfg = cfg or DedupConfig()
     lineage = _input_fingerprint(corpus)
 
-    parsed = run_stage(
+    diag = run_stage(
         spark,
-        os.path.join(work_dir, "parsed"),
-        lambda: parse_corpus(corpus),
+        os.path.join(work_dir, "diagnostics"),
+        lambda: parse_with_diagnostics(corpus),
         lineage,
     )
-    if with_quarantine:
-        run_stage(
-            spark,
-            os.path.join(work_dir, "quarantine"),
-            lambda: parse_corpus_quarantine(corpus),
-            lineage,
-        )
+    parsed, _quarantine = split_diagnostics(diag)
     clusters = run_stage(
         spark,
         os.path.join(work_dir, "clusters"),

@@ -95,6 +95,30 @@ QUARANTINE_SCHEMA = StructType(
     ]
 )
 
+# One-pass diagnostics output (reference parse_with_diagnostics,
+# src/diagnostics.rs:111-119): citations AND errors from a single parse of
+# each payload, discriminated by ``kind`` — the per-payload (results, errors)
+# pair re-expressed as a union table.
+DIAGNOSTICS_SCHEMA = StructType(
+    [
+        StructField("content_sha", StringType(), nullable=False),
+        StructField("row_id", LongType(), nullable=False),
+        StructField("kind", StringType(), nullable=False),  # citation | error
+        StructField("record_idx", IntegerType()),
+        StructField("format", StringType()),
+        StructField("citation", CITATION_SCHEMA),
+        StructField("error_line", IntegerType()),
+        StructField(
+            "error_span",
+            StructType(
+                [StructField("start", LongType()), StructField("end", LongType())]
+            ),
+        ),
+        StructField("error_kind", StringType()),
+        StructField("error_msg", StringType()),
+    ]
+)
+
 # Corpus input (BASELINE.json input_hint) + a deterministic row_id the
 # synthesizer assigns (payload index); real ingest derives it from ordering
 # metadata or a content-addressed key.

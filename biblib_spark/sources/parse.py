@@ -25,7 +25,7 @@ from biblib_spark.kernels.enw import parse_enw
 from biblib_spark.kernels.ictrp_xml import parse_ictrp_xml
 from biblib_spark.kernels.pubmed import parse_pubmed
 from biblib_spark.kernels.ris import parse_ris
-from biblib_spark.schema import PARSED_SCHEMA, QUARANTINE_SCHEMA
+from biblib_spark.schema import DIAGNOSTICS_SCHEMA, PARSED_SCHEMA, QUARANTINE_SCHEMA
 
 # Parser registry: format label -> kernel returning (citations, errors).
 # Formats land here as their kernels are implemented (SURVEY.md §7.2).
@@ -137,6 +137,85 @@ def _parse_partition(
         else:
             result["citation"] = pd.Series(recs, dtype="object")
         yield result
+
+
+def _diag_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """One parse per payload emitting BOTH citation and error rows
+    (reference parse_with_diagnostics, src/diagnostics.rs:111-119)."""
+    cols = [f.name for f in DIAGNOSTICS_SCHEMA.fields]
+    for pdf in batches:
+        out: dict[str, list[Any]] = {c: [] for c in cols}
+
+        def emit(sha, row_id, kind, idx, fmt, citation, err):
+            out["content_sha"].append(sha)
+            out["row_id"].append(row_id)
+            out["kind"].append(kind)
+            out["record_idx"].append(idx)
+            out["format"].append(fmt)
+            out["citation"].append(citation)
+            out["error_line"].append(err.get("error_line") if err else None)
+            out["error_span"].append(err.get("error_span") if err else None)
+            out["error_kind"].append(err.get("error_kind") if err else None)
+            out["error_msg"].append(err.get("error_msg") if err else None)
+
+        for sha, row_id, content in zip(
+            pdf["content_sha"], pdf["row_id"], pdf["content"]
+        ):
+            text = content if isinstance(content, str) else ""
+            fmt = detect.detect_format(text)
+            parser = PARSERS.get(fmt)
+            if parser is None:
+                emit(
+                    sha,
+                    row_id,
+                    "error",
+                    None,
+                    fmt,
+                    None,
+                    {
+                        "error_kind": "unknown_format",
+                        "error_msg": "Unknown or unsupported citation format",
+                    },
+                )
+                continue
+            citations, errors = parser(text)
+            for idx, citation in enumerate(citations):
+                emit(sha, row_id, "citation", idx, fmt, citation, None)
+            for err in errors:
+                emit(sha, row_id, "error", None, fmt, None, err)
+        result = pd.DataFrame({c: pd.Series(out[c], dtype="object") for c in cols})
+        yield result
+
+
+def parse_with_diagnostics(corpus: DataFrame) -> DataFrame:
+    """Corpus -> union of citation and error rows in ONE parse pass
+    (DIAGNOSTICS_SCHEMA). The reference's ``parse_with_diagnostics`` returns
+    (citations, errors) per payload; here both live in one DataFrame keyed by
+    ``kind`` so a single scan (or checkpointed stage) serves the parsed view
+    AND the quarantine view — no second parse of 100 TB of payloads."""
+    ingested = with_ingest_columns(corpus).select("content_sha", "row_id", "content")
+    return ingested.mapInPandas(_diag_partition, schema=DIAGNOSTICS_SCHEMA)
+
+
+def split_diagnostics(diag: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Diagnostics union -> (parsed PARSED_SCHEMA view, quarantine view)."""
+    parsed = diag.filter(F.col("kind") == "citation").select(
+        "content_sha",
+        "row_id",
+        F.col("record_idx").cast("int").alias("record_idx"),
+        "format",
+        "citation",
+    )
+    quarantine = diag.filter(F.col("kind") == "error").select(
+        "content_sha",
+        "row_id",
+        "format",
+        "error_line",
+        "error_span",
+        "error_kind",
+        "error_msg",
+    )
+    return parsed, quarantine
 
 
 def parse_corpus(corpus: DataFrame) -> DataFrame:

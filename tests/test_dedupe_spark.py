@@ -212,6 +212,34 @@ def test_identity_tier_rescues_lsh_miss(spark):
     assert frozenset({3}) in groups  # different pmid -> stays singleton
 
 
+def test_containment_pass_clusters_truncated_titles(spark):
+    """C4: a head-truncated title (substring of the full title, jaro 0.74 --
+    far below every reference threshold) must cluster via the suffix-key
+    admission + containment verify arm, with journal+volume+year
+    corroboration. Without corroboration it must NOT cluster."""
+    full = "Randomized clinical trial of renal outcomes in pediatric cohorts"
+    trunc = "Trial of renal outcomes in pediatric cohorts"
+    recs = [
+        _rec(1, full, journal="J Ped", volume="9", year=2005),
+        _rec(2, trunc, journal="J Ped", volume="9", year=2005),
+        # same containment shape but no journal/issn corroboration
+        _rec(3, full + " extra tokens qq", volume="9", year=2005),
+        _rec(4, trunc + " extra tokens qq", volume="9", year=2005),
+    ]
+    _, clusters, _ = _run(spark, recs)
+    groups = {frozenset(v) for v in clusters.values()}
+    assert frozenset({1, 2}) in groups
+    assert frozenset({3}) in groups and frozenset({4}) in groups
+
+    # containment off -> reference predicate only -> no cluster
+    cfg = DedupConfig(containment_verify=False)
+    _, clusters_off, _ = _run(spark, recs[:2], cfg)
+    assert {frozenset(v) for v in clusters_off.values()} == {
+        frozenset({1}),
+        frozenset({2}),
+    }
+
+
 @pytest.mark.slow
 def test_recall_vs_reference_on_synthetic_corpus(spark):
     """Dup-pair recall >= 0.99 vs the greedy-reference oracle (BASELINE.json)."""

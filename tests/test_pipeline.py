@@ -20,7 +20,7 @@ def test_pipeline_resume(spark):
         n1 = run_pipeline(spark, corpus, work).count()
         t1 = time.time() - t0
         assert n1 > 0
-        for stage in ("parsed", "quarantine", "clusters"):
+        for stage in ("diagnostics", "clusters"):
             marker = read_marker(os.path.join(work, stage))
             assert "rows" in marker and "lineage" in marker
             assert marker["lineage"]["input_rows"] == 150
@@ -40,6 +40,41 @@ def test_pipeline_resume(spark):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def test_parse_with_diagnostics_one_pass(spark):
+    """Reference parse_with_diagnostics (src/diagnostics.rs:111-119): one
+    parse emits citations AND quarantine rows; the split views agree with the
+    dedicated single-purpose scans."""
+    from pyspark.sql import functions as F
+
+    from biblib_spark.sources.parse import (
+        parse_corpus,
+        parse_corpus_quarantine,
+        parse_with_diagnostics,
+        split_diagnostics,
+    )
+
+    good = make_corpus(spark, 40, seed=3)
+    bad = good.limit(5).withColumn(
+        "content", F.lit("<<<not a citation payload>>>")
+    ).withColumn("row_id", F.col("row_id") + 10_000)
+    corpus = good.unionByName(bad)
+
+    diag = parse_with_diagnostics(corpus).localCheckpoint(eager=True)
+    parsed, quarantine = split_diagnostics(diag)
+
+    kinds = {r["kind"]: r["n"] for r in diag.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert kinds.get("citation", 0) > 0 and kinds.get("error", 0) == 5
+
+    assert parsed.count() == parse_corpus(corpus).count()
+    q_direct = parse_corpus_quarantine(corpus)
+    assert quarantine.count() == q_direct.count() == 5
+    assert quarantine.columns == q_direct.columns
+    assert set(
+        r.error_kind for r in quarantine.select("error_kind").collect()
+    ) == {"unknown_format"}
+
+
 def test_resume_with_changed_input_rebuilds(spark):
     """C8: a work_dir resumed against DIFFERENT input must rebuild, not
     silently return the stale stage (marker lineage comparison)."""
@@ -48,7 +83,7 @@ def test_resume_with_changed_input_rebuilds(spark):
         n1 = run_pipeline(spark, make_corpus(spark, 60, seed=1), work).count()
         n2 = run_pipeline(spark, make_corpus(spark, 90, seed=2), work).count()
         assert n2 != n1  # rebuilt from the new corpus, not resumed
-        marker = read_marker(os.path.join(work, "parsed"))
+        marker = read_marker(os.path.join(work, "diagnostics"))
         assert marker["lineage"]["input_rows"] == 90
     finally:
         shutil.rmtree(work, ignore_errors=True)
