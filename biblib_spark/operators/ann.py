@@ -69,31 +69,119 @@ def cosine_topk(
     )
 
 
-def make_hyperplane_bucket_udf(dim: int, n_planes: int, seed: int):
-    """Random-hyperplane LSH: sign pattern of n_planes projections -> bucket."""
+def _planes(dim: int, n_planes: int, n_tables: int, seed: int) -> np.ndarray:
     key = f"annlsh|{seed}"
+    total = dim * n_planes * n_tables * 8
     raw = b"".join(
         hashlib.sha256(f"{key}|{i}".encode()).digest()
-        for i in range((dim * n_planes * 8) // 32 + 1)
+        for i in range(total // 32 + 1)
     )
-    planes = (
-        np.frombuffer(raw[: dim * n_planes * 8], dtype="<u8").astype(np.float64)
+    return (
+        np.frombuffer(raw[:total], dtype="<u8").astype(np.float64)
         / np.float64(1 << 64)
         - 0.5
-    ).reshape(n_planes, dim)
+    ).reshape(n_tables, n_planes, dim)
 
-    @pandas_udf(LongType())
-    def bucket_udf(vecs: pd.Series) -> pd.Series:
-        out = np.zeros(len(vecs), dtype=np.int64)
-        for i, v in enumerate(vecs):
+
+def _pack(table: int, signs: np.ndarray) -> int:
+    # (table id, sign pattern) in one int64 join key
+    return (table << 40) | int(
+        np.packbits(signs.astype(np.uint8)).tobytes().hex(), 16
+    )
+
+
+def plant_neighbors(
+    spark,
+    embeddings: DataFrame,
+    query_ids: list[int],
+    per_query: int = 5,
+    noise: float = 0.05,
+    seed: int = 99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Test/benchmark harness: union ``per_query`` high-cosine perturbed
+    copies of each query vector into the table (ids 1_000_000+). ANN recall
+    is only meaningful when true neighbors are actually close — uniform
+    random vectors have near-orthogonal 'neighbors' no sublinear index can
+    find — so recall harnesses measure retrieval of these planted points."""
+    rng = np.random.default_rng(seed)
+    qrows = (
+        embeddings.filter(F.col(id_col).isin(query_ids))
+        .select(id_col, vec_col)
+        .collect()
+    )
+    rows = []
+    for r in qrows:
+        v = np.asarray(r[vec_col], dtype=np.float64)
+        v = v / np.linalg.norm(v)
+        for j in range(per_query):
+            p = v + noise * rng.standard_normal(len(v))
+            rows.append(
+                (1_000_000 + int(r[id_col]) * 100 + j, [float(x) for x in p])
+            )
+    planted = spark.createDataFrame(
+        rows, schema=f"{id_col} long, {vec_col} array<double>"
+    )
+    return embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
+    ).unionByName(planted)
+
+
+def make_table_buckets_udf(dim: int, n_planes: int, n_tables: int, seed: int):
+    """Multi-TABLE random-hyperplane LSH, index side: each vector hashes to
+    one bucket PER table (classic L-tables construction — the index is
+    replicated n_tables times, the standard storage/recall trade)."""
+    planes = _planes(dim, n_planes, n_tables, seed)
+
+    @pandas_udf("array<long>")
+    def buckets_udf(vecs: pd.Series) -> pd.Series:
+        out = []
+        for v in vecs:
             if v is None:
+                out.append([])
                 continue
             arr = np.asarray(v, dtype=np.float64)
-            signs = (planes @ arr) > 0
-            out[i] = int(np.packbits(signs.astype(np.uint8)).tobytes().hex(), 16)
+            out.append(
+                [_pack(t, (planes[t] @ arr) > 0) for t in range(n_tables)]
+            )
         return pd.Series(out)
 
-    return bucket_udf
+    return buckets_udf
+
+
+def make_probe_buckets_udf(
+    dim: int, n_planes: int, n_tables: int, seed: int, probe_bits: int
+):
+    """Query-side multi-probe: per table, the vector's own bucket plus every
+    bucket reachable by flipping one of the ``probe_bits`` planes whose
+    projection is CLOSEST to zero — near-zero projections are exactly the
+    planes a true neighbor most likely lands on the other side of, so probing
+    them recovers most of the recall a single lookup loses, at
+    n_tables * (probe_bits + 1) bucket lookups instead of 2^n_planes."""
+    planes = _planes(dim, n_planes, n_tables, seed)
+
+    @pandas_udf("array<long>")
+    def probes_udf(vecs: pd.Series) -> pd.Series:
+        out = []
+        for v in vecs:
+            if v is None:
+                out.append([])
+                continue
+            arr = np.asarray(v, dtype=np.float64)
+            probes = []
+            for t in range(n_tables):
+                proj = planes[t] @ arr
+                signs = proj > 0
+                probes.append(_pack(t, signs))
+                for i in np.argsort(np.abs(proj))[:probe_bits]:
+                    flipped = signs.copy()
+                    flipped[i] = ~flipped[i]
+                    probes.append(_pack(t, flipped))
+            out.append(probes)
+        return pd.Series(out)
+
+    return probes_udf
 
 
 def cosine_topk_lsh(
@@ -101,35 +189,64 @@ def cosine_topk_lsh(
     query_ids: list[int],
     k: int = 5,
     n_planes: int = 12,
+    n_tables: int = 1,
     seed: int = 7,
     dim: int = 64,
+    probe_bits: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's sign bucket.
+    """Approximate top-k: candidates restricted to the query's LSH buckets.
 
-    Scale path for the brute-force baseline; recall depends on n_planes.
+    Classic (L tables x b hyperplanes) construction with query-side
+    multi-probe: the index side emits one bucket per table (n_tables-way
+    replication — the standard LSH storage/recall trade); the tiny broadcast
+    query side fans out to n_tables * (probe_bits + 1) probe buckets.
+    Collision probability per plane is 1 - angle/pi, so recall is governed by
+    the NEIGHBOR SIMILARITY the workload actually has: for near-duplicate
+    embeddings (cos >= 0.9) a single 12-bit table probes ~0.02% of the index
+    at recall ~0.9; for near-orthogonal "neighbors" (cos ~0.3, e.g. uniform
+    random vectors) NO sublinear index works — use the brute-force baseline.
+    probe_bits=None defaults to half the planes; 0 = plain lookup.
     """
-    bucket = make_hyperplane_bucket_udf(dim, n_planes, seed)
+    if probe_bits is None:
+        probe_bits = n_planes // 2
+    buckets = make_table_buckets_udf(dim, n_planes, n_tables, seed)
+    probes = make_probe_buckets_udf(dim, n_planes, n_tables, seed, probe_bits)
     base = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
-    ).withColumn("bucket", bucket("vec")).withColumn("vnorm", _norm(F.col("vec")))
-    queries = base.filter(F.col("neighbor_id").isin(query_ids)).select(
-        F.col("neighbor_id").alias("query_id"),
-        F.col("vec").alias("qvec"),
-        F.col("vnorm").alias("qnorm"),
-        F.col("bucket").alias("qbucket"),
+    ).withColumn("vnorm", _norm(F.col("vec")))
+    indexed = base.select(
+        "neighbor_id", "vec", "vnorm", F.explode(buckets("vec")).alias("bucket")
     )
-    joined = base.join(
-        F.broadcast(queries), F.col("bucket") == F.col("qbucket")
-    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    queries = (
+        base.filter(F.col("neighbor_id").isin(query_ids))
+        .select(
+            F.col("neighbor_id").alias("query_id"),
+            F.col("vec").alias("qvec"),
+            F.col("vnorm").alias("qnorm"),
+            F.explode(probes("vec")).alias("qbucket"),
+        )
+    )
+    cand = (
+        indexed.join(F.broadcast(queries), F.col("bucket") == F.col("qbucket"))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        # a pair can collide in several tables/probes: score each pair once
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.first("vec").alias("vec"),
+            F.first("vnorm").alias("vnorm"),
+            F.first("qvec").alias("qvec"),
+            F.first("qnorm").alias("qnorm"),
+        )
+    )
     sim = _dot(F.col("vec"), F.col("qvec")) / (F.col("vnorm") * F.col("qnorm"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
     )
     return (
-        joined.withColumn("sim", sim)
+        cand.withColumn("sim", sim)
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("sim", 4).alias("sim"))

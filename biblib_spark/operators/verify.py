@@ -47,7 +47,14 @@ def _title_sim_udf(t1: pd.Series, t2: pd.Series, both_doi: pd.Series) -> pd.Seri
     for a, b, jd in zip(t1, t2, both_doi):
         a = a if isinstance(a, str) else ""
         b = b if isinstance(b, str) else ""
-        out.append(jaro(a, b) if jd else jaro_winkler(a, b))
+        if a == b:
+            # strsim parity: jaro(x, x) == jaro_winkler(x, x) == 1.0 (also
+            # for ""). Most true duplicates normalize to IDENTICAL titles, so
+            # this fast path skips the O(len*window) scan for the bulk of
+            # accepted pairs.
+            out.append(1.0)
+        else:
+            out.append(jaro(a, b) if jd else jaro_winkler(a, b))
     return pd.Series(out, dtype="float64")
 
 

@@ -1,10 +1,15 @@
-"""Structured Streaming surface — deliberately out of v1 scope.
+"""Structured Streaming surface.
 
 The reference is strictly batch (no watermarks, no stateful operators —
-SURVEY.md §2.9/§7.4); resumability comes from stage checkpoints
-(biblib_spark.plans.checkpoint) instead. The natural streaming extension —
-``readStream`` over the corpus table -> parse ``mapInPandas`` (stateless,
-reusable as-is) -> incremental candidate generation against a compacted
-signature store -> ``applyInPandasWithState`` union-find — is sketched here
-for a later round; nothing imports this module yet.
+SURVEY.md §2.9/§7.4), so the streaming extension here covers the natural
+incremental-ingest path: ``readStream`` over a growing corpus directory ->
+the SAME stateless parse/feature kernels (``mapInPandas`` reuses as-is on
+streaming DataFrames) -> per-microbatch sinks. Incremental cross-batch
+dedup state (signature store + union-find via ``applyInPandasWithState``)
+remains future work; batch resumability lives in
+``biblib_spark.plans.checkpoint``.
 """
+
+from biblib_spark.streaming.ingest import stream_features, stream_parse
+
+__all__ = ["stream_parse", "stream_features"]
