@@ -156,6 +156,70 @@ def _q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("custkey", "c_name", "revenue", "n_orders", "rnk")
 
 
+def _q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): 3-way join, filter both sides
+    pushed to the scans, top-10 by revenue without a global window."""
+    from biblib_spark.operators.topk import topk_ranked
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = _lineitem(spark, sf_dir)
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    joined = (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < cutoff)
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > cutoff)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    return topk_ranked(
+        joined, [("revenue", "desc"), ("l_orderkey", "asc")], 10
+    ).select("l_orderkey", "o_orderdate", "o_orderpriority", "revenue", "rnk")
+
+
+def _q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local-supplier volume): 6-way join through
+    region/nation; the three dimension tables broadcast."""
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = _lineitem(spark, sf_dir)
+    dims = (
+        region.filter(F.col("r_name") == "ASIA")
+        .join(nation, F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(supplier, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "n_nationkey", "n_name")
+    )
+    return (
+        li.join(F.broadcast(dims), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            cust.select("c_custkey", "c_nationkey"),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("n_nationkey")),
+        )
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 def _q_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     return events.groupBy("event_type").agg(
@@ -229,6 +293,60 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id",
         "left",
     ).select("media_id", "kind", "n_bytes", "content_crc", "n_copies")
+
+
+def _q_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact character-3-gram Jaccard near-dup pairs, entirely JVM-side
+    (sequence/transform/array_distinct/array_intersect — no Python). The
+    same-lang equi-join + length-band filter is the small-scale candidate
+    policy; at 10^12 docs the MinHash-LSH tier (near_dup_minhash) generates
+    candidates and THIS computation is the verify arm."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.expr(
+            "array_distinct(transform(sequence(1, length(text) - 2),"
+            " i -> substring(text, i, 3)))"
+        ).alias("grams"),
+    )
+    a = docs.select(
+        F.col("doc_id").alias("a"),
+        F.col("lang").alias("lang"),
+        F.col("n_chars").alias("a_chars"),
+        F.col("grams").alias("a_grams"),
+    )
+    b = docs.select(
+        F.col("doc_id").alias("b"),
+        F.col("lang").alias("b_lang"),
+        F.col("n_chars").alias("b_chars"),
+        F.col("grams").alias("b_grams"),
+    )
+    pairs = a.join(b, (F.col("lang") == F.col("b_lang")) & (F.col("a") < F.col("b")))
+    pairs = pairs.filter(F.abs(F.col("a_chars") - F.col("b_chars")) <= 20)
+    jac = F.size(F.array_intersect("a_grams", "b_grams")) / F.size(
+        F.array_union("a_grams", "b_grams")
+    )
+    return (
+        pairs.withColumn("jac", F.round(jac, 4))
+        .filter(F.col("jac") >= 0.5)
+        .select("a", "b", "jac")
+    )
+
+
+def _q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame-sampling plan: one row per planned frame (JVM
+    sequence explode). Rows-only check (synthetic binary media)."""
+    from biblib_spark.operators.multimodal import (
+        frame_sample_plan,
+        make_synthetic_media,
+    )
+
+    media = make_synthetic_media(spark, 120)
+    video = media.filter(F.col("kind") == "video")
+    return frame_sample_plan(video, every_ms=500).select(
+        "media_id", "frame_idx", "ts_ms"
+    )
 
 
 def _q_near_dup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -512,7 +630,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_representatives": _q_lang_representatives,
         "ann_topk": _q_ann_topk,
         "tpch_q1": _q_tpch_q1,
+        "tpch_q3": _q_tpch_q3,
+        "tpch_q5": _q_tpch_q5,
         "top_customers": _q_top_customers,
+        "ngram_jaccard_dups": _q_ngram_jaccard_dups,
         "events_by_type": _q_events_by_type,
         "parts_revenue": _q_parts_revenue,
         "user_sessions": _q_user_sessions,
@@ -527,6 +648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cite_election_abstract": _q_cite_election_abstract,
         # non-SQL-expressible (rows-only checks)
         "media_features": _q_media_features,
+        "media_frames": _q_media_frames,
         "near_dup_minhash": _q_near_dup_minhash,
         "ann_topk_lsh": _q_ann_topk_lsh,
         "doc_fingerprints": _q_doc_fingerprints,
@@ -597,6 +719,50 @@ def oracle_sql() -> dict[str, str]:
             " count(*) AS count_order"
             " FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'"
             " GROUP BY l_returnflag, l_linestatus"
+        ),
+        "tpch_q3": (
+            "WITH j AS (SELECT l_orderkey, o_orderdate, o_orderpriority,"
+            "  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue"
+            " FROM customer JOIN orders ON c_custkey = o_custkey"
+            "  JOIN lineitem ON o_orderkey = l_orderkey"
+            " WHERE c_mktsegment = 'BUILDING'"
+            "  AND o_orderdate < TIMESTAMP '1998-03-15'"
+            "  AND l_shipdate > TIMESTAMP '1998-03-15'"
+            " GROUP BY 1, 2, 3),"
+            " ranked AS (SELECT *, row_number() OVER"
+            "  (ORDER BY revenue DESC, l_orderkey ASC) AS rnk FROM j)"
+            " SELECT l_orderkey, o_orderdate, o_orderpriority, revenue, rnk"
+            " FROM ranked WHERE rnk <= 10"
+        ),
+        "tpch_q5": (
+            "SELECT n_name,"
+            " round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,"
+            " count(*) AS n_items"
+            " FROM region JOIN nation ON n_regionkey = r_regionkey"
+            "  JOIN supplier ON s_nationkey = n_nationkey"
+            "  JOIN lineitem ON l_suppkey = s_suppkey"
+            "  JOIN orders ON l_orderkey = o_orderkey"
+            "  JOIN customer ON o_custkey = c_custkey"
+            "   AND c_nationkey = n_nationkey"
+            " WHERE r_name = 'ASIA'"
+            "  AND o_orderdate >= TIMESTAMP '1997-01-01'"
+            "  AND o_orderdate < TIMESTAMP '1998-01-01'"
+            " GROUP BY n_name"
+        ),
+        "ngram_jaccard_dups": (
+            "WITH g AS (SELECT doc_id, lang, n_chars,"
+            "  list_distinct([substring(text, i, 3)"
+            "    FOR i IN range(1, length(text) - 1)]) AS grams"
+            " FROM documents),"
+            " p AS (SELECT g1.doc_id AS a, g2.doc_id AS b,"
+            "   g1.grams AS ga, g2.grams AS gb"
+            "  FROM g g1 JOIN g g2 ON g1.lang = g2.lang"
+            "   AND g1.doc_id < g2.doc_id"
+            "   AND abs(g1.n_chars - g2.n_chars) <= 20)"
+            " SELECT a, b, round(len(list_intersect(ga, gb))::DOUBLE"
+            "  / len(list_distinct(ga || gb)), 4) AS jac"
+            " FROM p WHERE round(len(list_intersect(ga, gb))::DOUBLE"
+            "  / len(list_distinct(ga || gb)), 4) >= 0.5"
         ),
         "top_customers": (
             "WITH rev AS ("
