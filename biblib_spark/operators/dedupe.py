@@ -92,12 +92,7 @@ def preprocess(records: DataFrame, cfg: DedupConfig) -> DataFrame:
         StructType,
     )
 
-    from biblib_spark.functions.minhash import (
-        _perm_params,
-        band_keys,
-        minhash_signature,
-        shingles,
-    )
+    from biblib_spark.functions.minhash import _perm_params, lsh_keys_batch
     from biblib_spark.functions.simhash import simhash64
     from biblib_spark.kernels.norm import (
         format_issn,
@@ -141,12 +136,6 @@ def preprocess(records: DataFrame, cfg: DedupConfig) -> DataFrame:
                 return []
             return [f for f in (format_issn(v) for v in lst) if f is not None]
 
-        def lsh(t):
-            if not t:
-                return []
-            sig = minhash_signature(shingles(t, k), a, b)
-            return [] if sig is None else band_keys(sig, bands)
-
         def sim(t):
             if not simhash_on or not t or len(t) > sim_max:
                 return []
@@ -166,7 +155,10 @@ def preprocess(records: DataFrame, cfg: DedupConfig) -> DataFrame:
                     if group_by_year
                     else pd.Series(0, index=pdf.index, dtype="int32")
                 ),
-                lsh_keys=titles.map(lsh),
+                lsh_keys=pd.Series(
+                    lsh_keys_batch(titles.tolist(), k, a, b, bands),
+                    index=pdf.index,
+                ),
                 simhash_keys=titles.map(sim),
             )
             yield pdf
@@ -241,12 +233,7 @@ def features_from_corpus(
         StructType,
     )
 
-    from biblib_spark.functions.minhash import (
-        _perm_params,
-        band_keys,
-        minhash_signature,
-        shingles,
-    )
+    from biblib_spark.functions.minhash import _perm_params, lsh_keys_batch
     from biblib_spark.functions.simhash import simhash64
     from biblib_spark.kernels import detect
     from biblib_spark.kernels.norm import (
@@ -288,12 +275,6 @@ def features_from_corpus(
         from biblib_spark.sources.parse import PARSERS
 
         a, b = _perm_params(num_perm, seed)
-
-        def lsh(t):
-            if not t:
-                return []
-            sig = minhash_signature(shingles(t, k), a, b)
-            return [] if sig is None else band_keys(sig, bands)
 
         for pdf in batches:
             cols: dict[str, list] = {f.name: [] for f in schema.fields}
@@ -344,7 +325,6 @@ def features_from_corpus(
                     cols["year_key"].append(
                         (year if year is not None else 0) if group_by_year else 0
                     )
-                    cols["lsh_keys"].append(lsh(nt))
                     if simhash_on and nt and len(nt) <= sim_max:
                         h = simhash64(nt, k)
                         cols["simhash_keys"].append(
@@ -352,6 +332,9 @@ def features_from_corpus(
                         )
                     else:
                         cols["simhash_keys"].append([])
+            # batched MinHash over the whole Arrow batch (one segmented
+            # broadcast instead of one numpy round-trip per record)
+            cols["lsh_keys"] = lsh_keys_batch(cols["norm_title"], k, a, b, bands)
             out = pd.DataFrame(cols)
             out["year"] = out["year"].astype("object")
             out["year_key"] = out["year_key"].astype("int32")
