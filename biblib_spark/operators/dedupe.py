@@ -356,18 +356,28 @@ def dedupe_corpus(
     return dedupe_features(feat, cfg)
 
 
-def records_from_parsed(parsed: DataFrame, record_idx_bits: int = 20) -> DataFrame:
+def records_from_parsed(
+    parsed: DataFrame,
+    record_idx_bits: int = 20,
+    source_col: str | None = None,
+) -> DataFrame:
     """Adapt parse output (PARSED_SCHEMA) to dedup input.
 
     rid = row_id << record_idx_bits | record_idx keeps the reference's input
     order (payload order, then record order within the payload) so election
     tie-breaks match. Requires record_idx < 2^record_idx_bits; at 10^12 rows
-    switch rid to a 128-bit (two-long) key.
+    switch rid to a 128-bit (two-long) key. ``source_col`` (M12): column on
+    ``parsed`` carrying the per-payload source register.
     """
     c = F.col("citation")
+    src = (
+        F.col(source_col).cast("string")
+        if source_col is not None
+        else F.lit(None).cast("string")
+    )
     return parsed.select(
         (F.col("row_id") * (1 << record_idx_bits) + F.col("record_idx")).alias("rid"),
-        F.lit(None).cast("string").alias("source"),
+        src.alias("source"),
         c["title"].alias("title"),
         c["journal"].alias("journal"),
         c["journal_abbr"].alias("journal_abbr"),

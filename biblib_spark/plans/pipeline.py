@@ -33,12 +33,15 @@ def run_pipeline(
     corpus: DataFrame,
     work_dir: str,
     cfg: DedupConfig | None = None,
+    source_col: str | None = None,
 ) -> DataFrame:
     """Returns the clusters DataFrame (rid, cluster_id, is_unique, source).
 
     Stage 1 parses each payload ONCE into the diagnostics union (citations +
     quarantine rows, reference parse_with_diagnostics); the parsed and
     quarantine views are filters over that single checkpointed scan.
+    ``source_col`` names a corpus column carrying the per-payload source
+    register (M12); every citation of a payload inherits it.
     """
     cfg = cfg or DedupConfig()
     lineage = _input_fingerprint(corpus)
@@ -50,10 +53,23 @@ def run_pipeline(
         lineage,
     )
     parsed, _quarantine = split_diagnostics(diag)
+
+    def _records() -> DataFrame:
+        if source_col is None:
+            return records_from_parsed(parsed)
+        # per-payload source register joined back by payload id; the corpus
+        # scan prunes to two columns
+        reg = corpus.select(
+            F.col("row_id").alias("__src_row_id"),
+            F.col(source_col).alias("__src"),
+        )
+        joined = parsed.join(reg, parsed["row_id"] == reg["__src_row_id"])
+        return records_from_parsed(joined, source_col="__src")
+
     clusters = run_stage(
         spark,
         os.path.join(work_dir, "clusters"),
-        lambda: dedupe_records(records_from_parsed(parsed), cfg),
+        lambda: dedupe_records(_records(), cfg),
         lineage,
     )
     return clusters

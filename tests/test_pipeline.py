@@ -75,6 +75,37 @@ def test_parse_with_diagnostics_one_pass(spark):
     ) == {"unknown_format"}
 
 
+def test_pipeline_source_register(spark):
+    """M12 through the checkpointed pipeline: --source-col joins the
+    per-payload register back into election."""
+    from pyspark.sql import functions as F
+
+    from biblib_spark.operators.dedupe import DedupConfig
+
+    work = tempfile.mkdtemp(prefix="pipeline_src_")
+    try:
+        corpus = make_corpus(spark, 80, seed=13).withColumn(
+            "feed", F.concat(F.lit("reg-"), (F.col("row_id") % 2).cast("string"))
+        )
+        cfg = DedupConfig(source_preferences=["reg-1", "reg-0"])
+        out = run_pipeline(spark, corpus, work, cfg, source_col="feed")
+        assert set(
+            r.source for r in out.select("source").distinct().collect()
+        ) == {"reg-0", "reg-1"}
+        winners = (
+            out.groupBy("cluster_id")
+            .agg(
+                F.collect_set("source").alias("sources"),
+                F.max(F.when(F.col("is_unique"), F.col("source"))).alias("w"),
+            )
+            .filter(F.array_contains("sources", "reg-1"))
+        )
+        assert winners.count() > 0
+        assert winners.filter(F.col("w") != "reg-1").count() == 0
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def test_resume_with_changed_input_rebuilds(spark):
     """C8: a work_dir resumed against DIFFERENT input must rebuild, not
     silently return the stale stage (marker lineage comparison)."""
