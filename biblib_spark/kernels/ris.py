@@ -106,8 +106,33 @@ def _is_continuation_line(raw: bytes) -> bool:
     return True
 
 
+def _is_continuation_line_ascii(line: str) -> bool:
+    """str fast path of ``_is_continuation_line`` for ``line.isascii()``
+    inputs, where byte indexing equals char indexing. Same decision table
+    (slice comparisons imply the length guards of the bytes version)."""
+    if len(line) < 2:
+        return True
+    if not (_ASCII_ALNUM.get(line[0]) and _ASCII_ALNUM.get(line[1])):
+        return False
+    if (
+        line[2:6] == "  - "
+        or line[2:5] == "  -"
+        or line[2:4] == "- "
+        or line[2:3] == "-"
+    ):
+        return False
+    return True
+
+
 def _is_ascii_alnum(b: int) -> bool:
     return (48 <= b <= 57) or (65 <= b <= 90) or (97 <= b <= 122)
+
+
+_ASCII_ALNUM = {
+    chr(b): True
+    for b in range(128)
+    if (48 <= b <= 57) or (65 <= b <= 90) or (97 <= b <= 122)
+}
 
 
 def _is_metadata_line(line: str) -> bool:
@@ -117,6 +142,21 @@ def _is_metadata_line(line: str) -> bool:
 
 def _parse_ris_line(line: str) -> tuple[str, str] | None:
     """(tag, content) or None on syntax error. reference: src/ris/parse.rs:139-210."""
+    if line.isascii():  # fast path: byte indexing == char indexing
+        if len(line) < 2:
+            return None
+        if not (_ASCII_ALNUM.get(line[0]) and _ASCII_ALNUM.get(line[1])):
+            return None
+        tag = line[:2]
+        if line[2:6] == "  - ":
+            return tag, line[6:].strip()
+        if line[2:5] == "  -":
+            return tag, line[5:].strip()
+        if line[2:4] == "- ":
+            return tag, line[4:].strip()
+        if line[2:3] == "-":
+            return tag, line[3:].strip()
+        return None
     raw = line.encode("utf-8")
     if len(raw) < 2:
         return None
@@ -183,8 +223,12 @@ def ris_parse_raw(text: str) -> list[RawRis]:
     ):
         if not raw_line.strip():
             continue
-        raw_bytes = raw_line.encode("utf-8")
-        if _is_continuation_line(raw_bytes):
+        is_cont = (
+            _is_continuation_line_ascii(raw_line)
+            if raw_line.isascii()
+            else _is_continuation_line(raw_line.encode("utf-8"))
+        )
+        if is_cont:
             if last_tag is not None:
                 if cur.span is not None:
                     cur.span[1] = byte_end
