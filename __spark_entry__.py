@@ -269,6 +269,18 @@ def _q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biblib_spark.operators.textops import quality_signals
+
+    return quality_signals(_docs(spark, sf_dir))
+
+
+def _q_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biblib_spark.operators.textops import token_frequencies
+
+    return token_frequencies(_docs(spark, sf_dir), k=50)
+
+
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from biblib_spark.operators.textops import lang_id_heuristic
 
@@ -638,6 +650,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_revenue": _q_parts_revenue,
         "user_sessions": _q_user_sessions,
         "lang_id": _q_lang_id,
+        "quality_filter": _q_quality_filter,
+        "token_freq": _q_token_freq,
         # citation-engine operators over the shared oracle fixture
         "cite_verify_predicate": _q_cite_verify_predicate,
         "cite_identity_tiers": _q_cite_identity_tiers,
@@ -808,6 +822,28 @@ def oracle_sql() -> dict[str, str]:
             "       WHEN es_markers >= de_markers THEN 'es' ELSE 'de' END"
             "    AS predicted_lang"
             " FROM m"
+        ),
+        "quality_filter": (
+            "WITH t AS (SELECT doc_id, text,"
+            "  string_split_regex(trim(text), '\\s+') AS toks FROM documents)"
+            " SELECT doc_id, len(toks)::BIGINT AS token_count,"
+            "  round(length(regexp_replace(text, '\\s', '', 'g'))"
+            "   / len(toks), 4) AS avg_token_len,"
+            "  round(len([x FOR x IN toks"
+            "   IF x IN ('the', 'a', 'of', 'and', 'in')])::DOUBLE"
+            "   / len(toks), 4) AS stopword_ratio,"
+            "  (len(toks) >= 30 AND round(len([x FOR x IN toks"
+            "   IF x IN ('the', 'a', 'of', 'and', 'in')])::DOUBLE"
+            "   / len(toks), 4) >= 0.03)::INT AS keep"
+            " FROM t"
+        ),
+        "token_freq": (
+            "WITH c AS (SELECT token, count(*) AS n FROM ("
+            "  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token"
+            "  FROM documents) GROUP BY token),"
+            " ranked AS (SELECT *, row_number() OVER"
+            "  (ORDER BY n DESC, token ASC) AS rnk FROM c)"
+            " SELECT token, n, rnk FROM ranked WHERE rnk <= 50"
         ),
         "user_sessions": (
             "WITH g AS (SELECT user_id, event_type,"

@@ -67,6 +67,52 @@ def doc_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+#: tiny demonstration stopword list for quality signals (a real pipeline
+#: ships per-language lists; the MECHANISM — JVM array ops over the token
+#: split, no Python — is what scales)
+QUALITY_STOPWORDS = ("the", "a", "of", "and", "in")
+
+
+def quality_signals(
+    docs: DataFrame,
+    min_tokens: int = 30,
+    min_stopword_ratio: float = 0.03,
+) -> DataFrame:
+    """Per-document quality gate for training-data filtering: token count,
+    mean token length, stopword ratio, and the resulting keep/drop decision.
+    Entirely whole-stage-codegen expressions — at 100 TB this is a single
+    scan with no shuffle and no Python."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(toks)
+    stop_lits = F.array(*[F.lit(s) for s in QUALITY_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_lits, t)))
+    chars_no_space = F.length(F.regexp_replace(F.col("text"), r"\s", ""))
+    stop_ratio = F.round(n_stop / n, 4)
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("token_count"),
+        F.round(chars_no_space / n, 4).alias("avg_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        (
+            (n >= min_tokens) & (stop_ratio >= min_stopword_ratio)
+        ).cast("int").alias("keep"),
+    )
+
+
+def token_frequencies(docs: DataFrame, k: int = 50) -> DataFrame:
+    """Corpus-level top-k token frequencies (vocabulary head): explode the
+    whitespace split, hash-aggregate with map-side partials, parallel top-k
+    (no global window)."""
+    from biblib_spark.operators.topk import topk_ranked
+
+    counts = (
+        docs.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return topk_ranked(counts, [("n", "desc"), ("token", "asc")], k)
+
+
 def lang_summary(docs: DataFrame) -> DataFrame:
     """Per-language corpus summary (token counting at corpus granularity)."""
     return (

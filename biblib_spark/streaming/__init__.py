@@ -10,6 +10,10 @@ remains future work; batch resumability lives in
 ``biblib_spark.plans.checkpoint``.
 """
 
-from biblib_spark.streaming.ingest import stream_features, stream_parse
+from biblib_spark.streaming.ingest import (
+    stream_exact_dedup,
+    stream_features,
+    stream_parse,
+)
 
-__all__ = ["stream_parse", "stream_features"]
+__all__ = ["stream_parse", "stream_features", "stream_exact_dedup"]

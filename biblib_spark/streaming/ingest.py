@@ -40,6 +40,24 @@ def stream_parse(
     )
 
 
+def stream_exact_dedup(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Streaming exact dedup: first sighting of each content hash wins,
+    ACROSS microbatches — `dropDuplicates` on a streaming DataFrame keeps
+    the seen-keys set in the checkpointed state store, so a payload that
+    re-lands in a later batch is dropped exactly once per key forever.
+    (Unbounded key state; at 100 TB bound it with
+    ``withWatermark`` + `dropDuplicatesWithinWatermark` or a TTL'd
+    applyInPandasWithState variant.)"""
+    from pyspark.sql import functions as F
+
+    stream = read_corpus_stream(spark, input_dir, max_files_per_trigger)
+    return stream.withColumn(
+        "content_sha", F.sha2(F.col("content"), 256)
+    ).dropDuplicates(["content_sha"])
+
+
 def stream_features(
     spark: SparkSession,
     input_dir: str,

@@ -63,6 +63,36 @@ def test_stream_parse_incremental(spark):
         assert total == expected
         assert spark.read.parquet(in_dir).count() == 50
 
+        # stateful exact dedup: a payload re-landing in a later microbatch
+        # is dropped by the checkpointed state store
+        from biblib_spark.streaming.ingest import stream_exact_dedup
+
+        dup_dir = os.path.join(work, "landing_dup")
+        dedup_out = os.path.join(work, "dedup_sink")
+        _write_batch(spark, dup_dir, 10, seed=5, offset=0)
+
+        def run_dedup():
+            q = (
+                stream_exact_dedup(spark, dup_dir)
+                .select("row_id", "content_sha")
+                .writeStream.format("parquet")
+                .outputMode("append")
+                .option("path", dedup_out)
+                .option("checkpointLocation", os.path.join(work, "ckpt_dd"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            return spark.read.parquet(dedup_out).count()
+
+        n1 = run_dedup()
+        assert n1 == 10
+        # batch 2: 5 exact re-lands (same content, shifted row_id) + 5 new
+        _write_batch(spark, dup_dir, 10, seed=5, offset=100_000)
+        _write_batch(spark, dup_dir, 5, seed=99, offset=200_000)
+        n2 = run_dedup()
+        assert n2 == n1 + 5  # the 10 duplicate payloads were suppressed
+
         # feature stream reuses the fused kernel unchanged
         qf = (
             stream_features(spark, in_dir)
