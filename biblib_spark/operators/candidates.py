@@ -102,6 +102,58 @@ def affix_keyed(feat: DataFrame, which: str, length: int) -> DataFrame:
     )
 
 
+def self_join_pairs_salted(
+    keyed: DataFrame, keys: list[str], max_bucket: int, salt: int = 16
+) -> DataFrame:
+    """Skew-hardened twin of ``self_join_pairs`` (C7, north_rule's salted
+    repartitioning): identical output pairs, but NO task ever materializes a
+    whole bucket.
+
+    ``self_join_pairs`` collect_lists each bucket before capping — bounded
+    pairs, but a 10^8-member boilerplate bucket is one 800 MB aggregation
+    buffer on one task. Here:
+
+    1. bucket sizes + min rid via a SALTED two-level aggregation — partial
+       (bucket, rid%salt) aggregates combine map-side, so the hot bucket's
+       size is computed by ``salt`` tasks, then ``salt`` tiny rows merge;
+    2. small buckets (<= max_bucket) take the exact all-pairs path (their
+       collect_list is bounded by max_bucket by construction);
+    3. oversize buckets emit star pairs by STREAMING the keyed rows through
+       a join against their (bucket -> min_rid) table — row-at-a-time, no
+       list; AQE skew-join splits the hot probe partitions.
+    """
+    kcols = [F.col(k) for k in keys]
+    salted = keyed.groupBy(
+        *kcols, F.pmod(F.xxhash64("rid"), F.lit(salt)).alias("__salt")
+    ).agg(F.count(F.lit(1)).alias("c"), F.min("rid").alias("m"))
+    sizes = (
+        salted.groupBy(*kcols)
+        .agg(F.sum("c").alias("n"), F.min("m").alias("min_rid"))
+        .filter(F.col("n") > 1)
+    )
+
+    small_keys = sizes.filter(F.col("n") <= max_bucket).select(*keys)
+    small = keyed.join(small_keys, keys)
+    small_pairs = (
+        small.groupBy(*kcols)
+        .agg(F.sort_array(F.collect_list("rid")).alias("rids"))
+        .select("rids")
+        .select(F.explode("rids").alias("a"), F.col("rids"))
+        .select(
+            "a",
+            F.explode(F.filter("rids", lambda x: x > F.col("a"))).alias("b"),
+        )
+    )
+
+    big_keys = sizes.filter(F.col("n") > max_bucket).select(*keys, "min_rid")
+    big_pairs = (
+        keyed.join(big_keys, keys)
+        .filter(F.col("rid") != F.col("min_rid"))
+        .select(F.col("min_rid").alias("a"), F.col("rid").alias("b"))
+    )
+    return small_pairs.unionByName(big_pairs)
+
+
 def candidate_pairs(feat: DataFrame, cfg) -> DataFrame:
     """All tiers unioned and deduped (C5). ``feat`` must carry
     rid, year_key, doi, norm_title, lsh_keys, simhash_keys.
@@ -148,6 +200,7 @@ def candidate_pairs(feat: DataFrame, cfg) -> DataFrame:
         keyed = keyed.unionByName(t)
     # no pre-distinct: (bucket, rid) rows are already unique within each tier
     # and the tier salt keeps them distinct across tiers
-    pairs = self_join_pairs(keyed, ["year_key", "bkey"], cfg.max_bucket)
+    gen = self_join_pairs_salted if cfg.salted_pairs else self_join_pairs
+    pairs = gen(keyed, ["year_key", "bkey"], cfg.max_bucket)
     # C5: one verify per unordered pair (same pair can surface in many tiers)
     return pairs.distinct()

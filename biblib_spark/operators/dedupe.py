@@ -41,6 +41,12 @@ class DedupConfig:
     bands: int = 16
     minhash_seed: int = 1815
     max_bucket: int = 64  # C7 star-policy cap per candidate bucket
+    # C7 salted pair generation: identical pairs, but no task ever holds a
+    # whole bucket (salted size/min aggregation + streamed star join). Costs
+    # one extra combinable shuffle — turn on when buckets can exceed ~10^6
+    # members (boilerplate titles at 10^12-row scale); AQE handles the rest
+    # locally, so the default favors the single-shuffle path
+    salted_pairs: bool = False
     simhash_enabled: bool = True
     simhash_max_title: int = 24
     # redundant while LSH is on (identical normalized titles -> identical

@@ -102,6 +102,54 @@ def test_star_policy_leaves_singletons_alone(skew_clusters):
     assert all(r.cluster_id == r.rid and r.is_unique for r in cold)
 
 
+def test_salted_pair_generation_identical(spark):
+    """C7 salted repartitioning: self_join_pairs_salted must produce EXACTLY
+    the pairs of the collect_list path — all-pairs for small buckets, star
+    pairs to the bucket min for oversize ones — while never materializing a
+    whole bucket on one task."""
+    from pyspark.sql import functions as F
+
+    from biblib_spark.operators.candidates import (
+        self_join_pairs,
+        self_join_pairs_salted,
+    )
+
+    rows = []
+    # mega bucket (key 1): 300 members; medium (key 2): 10; singleton (key 3)
+    rows += [(0, 1, i) for i in range(300)]
+    rows += [(0, 2, 1000 + i) for i in range(10)]
+    rows += [(0, 3, 2000)]
+    rows += [(7, 1, 3000 + i) for i in range(3)]  # same bkey, other year
+    keyed = spark.createDataFrame(rows, "year_key int, bkey long, rid long")
+
+    base = {
+        (r.a, r.b)
+        for r in self_join_pairs(keyed, ["year_key", "bkey"], 64).collect()
+    }
+    salted = {
+        (r.a, r.b)
+        for r in self_join_pairs_salted(
+            keyed, ["year_key", "bkey"], 64, salt=8
+        ).collect()
+    }
+    assert salted == base
+    assert (0, 299) in salted  # star edge to the mega-bucket min
+    assert (1000, 1009) in salted  # full pairs in the medium bucket
+    assert len([p for p in salted if p[0] == 0]) == 299
+
+
+def test_dedupe_with_salted_pairs_matches_default(spark):
+    from biblib_spark.corpus import make_corpus
+    from biblib_spark.operators.dedupe import DedupConfig, dedupe_corpus
+
+    corpus = make_corpus(spark, 80, seed=17)
+    a = dedupe_corpus(corpus, DedupConfig()).collect()
+    b = dedupe_corpus(corpus, DedupConfig(salted_pairs=True)).collect()
+    assert {(r.rid, r.cluster_id, r.is_unique) for r in a} == {
+        (r.rid, r.cluster_id, r.is_unique) for r in b
+    }
+
+
 def test_prefix_tier_catches_truncation_pairs(spark):
     """C4: a truncated-title duplicate whose band hashes diverge is still
     found through the shared-prefix bucket + the jaro>=0.85 DOI arm."""
