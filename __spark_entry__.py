@@ -361,6 +361,20 @@ def _q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biblib_spark.operators.ann import embedding_near_dup
+
+    return embedding_near_dup(_emb(spark, sf_dir), threshold=0.4)
+
+
+def _q_near_dup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-level SimHash near-dup (quarter-key candidates + JVM hamming
+    verify). Rows-only: the simhash itself isn't SQL-expressible."""
+    from biblib_spark.operators.textops import near_dup_pairs_simhash
+
+    return near_dup_pairs_simhash(_docs(spark, sf_dir), max_hamming=20)
+
+
 def _q_near_dup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from biblib_spark.operators.textops import near_dup_pairs_minhash
 
@@ -646,6 +660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": _q_tpch_q5,
         "top_customers": _q_top_customers,
         "ngram_jaccard_dups": _q_ngram_jaccard_dups,
+        "embedding_near_dup": _q_embedding_near_dup,
         "events_by_type": _q_events_by_type,
         "parts_revenue": _q_parts_revenue,
         "user_sessions": _q_user_sessions,
@@ -664,6 +679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
         "near_dup_minhash": _q_near_dup_minhash,
+        "near_dup_simhash": _q_near_dup_simhash,
         "ann_topk_lsh": _q_ann_topk_lsh,
         "doc_fingerprints": _q_doc_fingerprints,
         "citation_clusters": _q_citation_clusters,
@@ -822,6 +838,18 @@ def oracle_sql() -> dict[str, str]:
             "       WHEN es_markers >= de_markers THEN 'es' ELSE 'de' END"
             "    AS predicted_lang"
             " FROM m"
+        ),
+        "embedding_near_dup": (
+            "WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v"
+            "  FROM embeddings)"
+            " SELECT a.vec_id AS a, b.vec_id AS b,"
+            "  round(list_dot_product(a.v, b.v)"
+            "   / (sqrt(list_dot_product(a.v, a.v))"
+            "    * sqrt(list_dot_product(b.v, b.v))), 4) AS sim"
+            " FROM base a JOIN base b ON a.vec_id < b.vec_id"
+            " WHERE list_dot_product(a.v, b.v)"
+            "   / (sqrt(list_dot_product(a.v, a.v))"
+            "    * sqrt(list_dot_product(b.v, b.v))) >= 0.4"
         ),
         "quality_filter": (
             "WITH t AS (SELECT doc_id, text,"

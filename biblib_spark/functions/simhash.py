@@ -40,6 +40,38 @@ def simhash64(text: str, k: int) -> int:
     return out
 
 
+def simhash64_batch(texts: list, k: int) -> list[int]:
+    """Vectorized 64-bit SimHash over the k-char shingle SET of each text —
+    the document-scale variant (the per-window scalar ``simhash64`` is for
+    <=24-char titles; a 600-char doc would cost ~40k Python ops there).
+    Shingle hashing reuses the MinHash kernel's vectorized codepoint
+    polynomial; a splitmix64 step widens each 32-bit shingle hash to the 64
+    vote bits."""
+    import numpy as np
+
+    from biblib_spark.functions.minhash import shingles
+
+    bitpos = np.arange(64, dtype=np.uint64)
+    out: list[int] = []
+    for t in texts:
+        if not isinstance(t, str) or not t:
+            out.append(0)
+            continue
+        h = shingles(t, k)  # uint64 (32-bit values), deduped
+        # splitmix64 widen
+        z = (h + np.uint64(0x9E3779B97F4A7C15)) * np.uint64(0xBF58476D1CE4E5B9)
+        z ^= z >> np.uint64(27)
+        z *= np.uint64(0x94D049BB133111EB)
+        z ^= z >> np.uint64(31)
+        bits = (z[:, None] >> bitpos[None, :]) & np.uint64(1)
+        votes = 2 * bits.sum(axis=0).astype(np.int64) - len(z)
+        sim = np.uint64(0)
+        for bit in np.flatnonzero(votes > 0):
+            sim |= np.uint64(1) << np.uint64(bit)
+        out.append(int(sim.astype(np.int64)))  # two's-complement into int64
+    return out
+
+
 def make_quarter_keys_udf(k: int, max_title_len: int):
     """pandas UDF: norm_title -> array<long> of 4 quarter keys, or [] when the
     title is longer than ``max_title_len`` (MinHash covers those)."""

@@ -69,6 +69,36 @@ def cosine_topk(
     )
 
 
+def embedding_near_dup(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, cosine >= threshold).
+
+    Brute-force all-pairs baseline — correctness anchor and fine up to ~10^5
+    vectors per group; at 10^9+ swap the pair source for the multi-table LSH
+    buckets (``make_table_buckets_udf``) and keep this cosine filter as the
+    verify arm, exactly like MinHash-LSH + Jaccard on the text side.
+    """
+    base = embeddings.select(
+        F.col(id_col).alias("a"),
+        F.col(vec_col).cast("array<double>").alias("va"),
+    ).withColumn("na", _norm(F.col("va")))
+    other = base.select(
+        F.col("a").alias("b"), F.col("va").alias("vb"), F.col("na").alias("nb")
+    )
+    sim = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        base.crossJoin(F.broadcast(other))
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= threshold)
+        .select("a", "b", F.round("sim", 4).alias("sim"))
+    )
+
+
 def _planes(dim: int, n_planes: int, n_tables: int, seed: int) -> np.ndarray:
     key = f"annlsh|{seed}"
     total = dim * n_planes * n_tables * 8

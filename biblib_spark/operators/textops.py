@@ -67,6 +67,59 @@ def doc_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+def near_dup_pairs_simhash(
+    docs: DataFrame,
+    k: int = 4,
+    max_hamming: int = 6,
+    max_bucket: int = 64,
+    text_col: str = "text",
+) -> DataFrame:
+    """Document-level SimHash near-dup pairs (a, b, hamming).
+
+    One Python pass computes the 64-bit SimHash per doc (vectorized shingle
+    kernel); everything after is JVM: candidates = equi-join on the four
+    16-bit quarter keys (any equal quarter admits the pair — covers Hamming
+    <= 3 with certainty, more distant pairs probabilistically), star-capped
+    like every bucket join (C7), verified by ``bit_count(xor) <= max_hamming``
+    inside codegen. Scales exactly like the MinHash tier: one shuffle on the
+    quarter keys, no all-pairs anywhere.
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    from biblib_spark.functions.simhash import simhash64_batch
+    from biblib_spark.operators.candidates import self_join_pairs
+
+    @pandas_udf(LongType())
+    def _sh(texts: pd.Series) -> pd.Series:
+        return pd.Series(simhash64_batch(texts.tolist(), k))
+
+    with_sh = docs.select(
+        F.col("doc_id").alias("rid"), _sh(F.col(text_col)).alias("sh")
+    ).localCheckpoint(eager=True)
+
+    quarters = [
+        F.lit(q << 16).cast("long").bitwiseOR(
+            F.shiftrightunsigned("sh", 16 * q).bitwiseAND(F.lit(0xFFFF))
+        )
+        for q in range(4)
+    ]
+    keyed = with_sh.select(
+        "rid", F.explode(F.array(*quarters)).alias("bkey")
+    )
+    pairs = self_join_pairs(keyed, ["bkey"], max_bucket).distinct()
+    a = with_sh.select(F.col("rid").alias("a"), F.col("sh").alias("a_sh"))
+    b = with_sh.select(F.col("rid").alias("b"), F.col("sh").alias("b_sh"))
+    hamming = F.bit_count(F.col("a_sh").bitwiseXOR(F.col("b_sh")))
+    return (
+        pairs.join(a, "a")
+        .join(b, "b")
+        .withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
 #: tiny demonstration stopword list for quality signals (a real pipeline
 #: ships per-language lists; the MECHANISM — JVM array ops over the token
 #: split, no Python — is what scales)

@@ -102,6 +102,33 @@ def test_star_policy_leaves_singletons_alone(skew_clusters):
     assert all(r.cluster_id == r.rid and r.is_unique for r in cold)
 
 
+def test_simhash_doc_near_dup(spark):
+    """Doc-level SimHash: a lightly-edited copy must surface with small
+    hamming; unrelated docs must not pass a tight threshold."""
+    from biblib_spark.operators.textops import near_dup_pairs_simhash
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the warm windowsill and the birds sing in the garden outside"
+    )
+    edited = base + " today"  # appended-tail near-dup
+    other = (
+        "completely different content about distributed query execution "
+        "plans shuffle partitions and adaptive optimization in engines"
+    )
+    docs = spark.createDataFrame(
+        [(1, base), (2, edited), (3, other), (4, other + " extra")],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.a, r.b): r.hamming
+        for r in near_dup_pairs_simhash(docs, max_hamming=12).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 12
+    assert (3, 4) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
 def test_salted_pair_generation_identical(spark):
     """C7 salted repartitioning: self_join_pairs_salted must produce EXACTLY
     the pairs of the collect_list path — all-pairs for small buckets, star
