@@ -390,10 +390,10 @@ def _q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from biblib_spark.operators.textops import fingerprint_udf
+    from biblib_spark.operators.textops import fingerprint_col
 
     return _docs(spark, sf_dir).select(
-        "doc_id", fingerprint_udf("text").alias("fingerprint")
+        "doc_id", fingerprint_col(F.col("text")).alias("fingerprint")
     )
 
 
@@ -838,6 +838,12 @@ def oracle_sql() -> dict[str, str]:
             "       WHEN es_markers >= de_markers THEN 'es' ELSE 'de' END"
             "    AS predicted_lang"
             " FROM m"
+        ),
+        "doc_fingerprints": (
+            "SELECT doc_id, md5(list_aggregate("
+            " [md5(substring(text, i*64+1, 64))"
+            "  FOR i IN range(0, greatest(ceil(length(text)/64.0)::INT, 1))],"
+            " 'string_agg', '')) AS fingerprint FROM documents"
         ),
         "embedding_near_dup": (
             "WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v"

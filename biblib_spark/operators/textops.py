@@ -244,7 +244,11 @@ def near_dup_pairs_minhash(
 
 @pandas_udf(LongType())
 def fingerprint_udf(texts: pd.Series) -> pd.Series:
-    """Deterministic 63-bit document fingerprint (crc32 rolling combine)."""
+    """Deterministic 63-bit document fingerprint (crc32 rolling combine).
+
+    Python variant kept for library users; the pipeline/driver path uses the
+    JVM ``fingerprint_col`` below (same chunked structure, codegen speed,
+    ANSI-SQL-expressible for the oracle)."""
 
     def _one(t: object) -> int:
         if not isinstance(t, str):
@@ -256,6 +260,19 @@ def fingerprint_udf(texts: pd.Series) -> pd.Series:
         return h
 
     return texts.map(_one)
+
+
+def fingerprint_col(text: Column, chunk: int = 64) -> Column:
+    """Chunked document fingerprint, entirely JVM-side: md5 per 64-char
+    chunk, md5 over the ordered concatenation. Chunk structure (rather than
+    one md5 of the whole doc) is what a partial-match/winnowing extension
+    indexes on; the fold here keeps the driver-oracle contract simple."""
+    n_chunks = F.greatest(F.ceil(F.length(text) / chunk), F.lit(1)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.md5(F.substring(text, i * chunk + 1, chunk)),
+    )
+    return F.md5(F.array_join(chunks, ""))
 
 
 def _marker_count(text: Column, marker: str) -> Column:
