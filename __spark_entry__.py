@@ -275,6 +275,12 @@ def _q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_signals(_docs(spark, sf_dir))
 
 
+def _q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biblib_spark.operators.textops import repetition_signals
+
+    return repetition_signals(_docs(spark, sf_dir))
+
+
 def _q_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from biblib_spark.operators.textops import token_frequencies
 
@@ -666,6 +672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": _q_user_sessions,
         "lang_id": _q_lang_id,
         "quality_filter": _q_quality_filter,
+        "repetition_filter": _q_repetition_filter,
         "token_freq": _q_token_freq,
         # citation-engine operators over the shared oracle fixture
         "cite_verify_predicate": _q_cite_verify_predicate,
@@ -869,6 +876,17 @@ def oracle_sql() -> dict[str, str]:
             "  (len(toks) >= 30 AND round(len([x FOR x IN toks"
             "   IF x IN ('the', 'a', 'of', 'and', 'in')])::DOUBLE"
             "   / len(toks), 4) >= 0.03)::INT AS keep"
+            " FROM t"
+        ),
+        "repetition_filter": (
+            "WITH t AS (SELECT doc_id,"
+            "  string_split_regex(trim(text), '\\s+') AS toks FROM documents)"
+            " SELECT doc_id, len(toks)::BIGINT AS token_count,"
+            "  len(list_distinct(toks))::BIGINT AS distinct_tokens,"
+            "  round(list_max(map_values(list_histogram(toks)))::DOUBLE"
+            "   / len(toks), 4) AS top_token_ratio,"
+            "  (round(list_max(map_values(list_histogram(toks)))::DOUBLE"
+            "   / len(toks), 4) <= 0.2)::INT AS keep"
             " FROM t"
         ),
         "token_freq": (

@@ -152,6 +152,35 @@ def quality_signals(
     )
 
 
+def repetition_signals(docs: DataFrame, max_top_ratio: float = 0.2) -> DataFrame:
+    """Gopher-style repetition gate: fraction of tokens taken by the single
+    most frequent token, plus the distinct-token ratio. Boilerplate and
+    template spam score high top-token ratios. Pure JVM: token histogram per
+    row via aggregate() over the split — no shuffle, no Python."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(toks)
+    # per-row histogram: fold tokens into a map<token, count>
+    hist = F.aggregate(
+        toks,
+        F.create_map().cast("map<string,int>"),
+        lambda acc, t: F.map_zip_with(
+            acc,
+            F.create_map(t, F.lit(1)),
+            lambda _k, v1, v2: F.coalesce(v1, F.lit(0)) + F.coalesce(v2, F.lit(0)),
+        ),
+    )
+    top = F.array_max(F.map_values(hist))
+    n_distinct = F.size(F.array_distinct(toks))
+    top_ratio = F.round(top / n, 4)
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("token_count"),
+        n_distinct.cast("long").alias("distinct_tokens"),
+        top_ratio.alias("top_token_ratio"),
+        (top_ratio <= max_top_ratio).cast("int").alias("keep"),
+    )
+
+
 def token_frequencies(docs: DataFrame, k: int = 50) -> DataFrame:
     """Corpus-level top-k token frequencies (vocabulary head): explode the
     whitespace split, hash-aggregate with map-side partials, parallel top-k

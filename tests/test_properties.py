@@ -77,3 +77,38 @@ def test_corpus_payloads_always_parse(p):
     citations, errors = parser(text)
     assert errors == []
     assert all(c["title"] for c in citations)
+
+
+@given(st.lists(st.text(max_size=60), max_size=20))
+@settings(max_examples=60, deadline=None)
+def test_lsh_batch_matches_scalar(titles):
+    """Batched MinHash band keys == per-record path, for arbitrary unicode."""
+    from biblib_spark.functions.minhash import (
+        _perm_params,
+        band_keys,
+        lsh_keys_batch,
+        minhash_signature,
+        shingles,
+    )
+
+    a, b = _perm_params(64, 1815)
+    batch = lsh_keys_batch(titles, 4, a, b, 16)
+    for t, keys in zip(titles, batch):
+        if not t:
+            assert keys == []
+        else:
+            sig = minhash_signature(shingles(t, 4), a, b)
+            assert keys == ([] if sig is None else band_keys(sig, 16))
+
+
+@given(st.text(max_size=200), st.text(max_size=200))
+@settings(max_examples=60, deadline=None)
+def test_simhash_batch_total_and_symmetric_distance(t1, t2):
+    from biblib_spark.functions.simhash import simhash64_batch
+
+    h1, h2 = simhash64_batch([t1, t2], 4)
+    assert -(1 << 63) <= h1 < (1 << 63)  # fits Spark LongType
+    # equal inputs -> equal hashes; distance symmetric by construction
+    assert simhash64_batch([t1], 4)[0] == h1
+    if t1 == t2:
+        assert h1 == h2
