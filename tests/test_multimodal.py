@@ -2,6 +2,36 @@
 
 from __future__ import annotations
 
+
+def test_media_embeddings_feed_similarity_search(spark):
+    """End-to-end multimodal dedup path: binary blobs -> feature extraction
+    (mapInPandas) -> embedding column -> the SAME similarity operators the
+    text/embedding side uses (exact copies score cosine 1.0; ANN top-k runs
+    unmodified over the media embedding column)."""
+    from pyspark.sql import functions as F
+
+    from biblib_spark.operators.ann import cosine_topk, embedding_near_dup
+    from biblib_spark.operators.multimodal import (
+        extract_media_features,
+        make_synthetic_media,
+    )
+
+    media = make_synthetic_media(spark, 60)
+    feats = extract_media_features(media).localCheckpoint(eager=True)
+    emb = feats.select(
+        F.col("media_id").alias("vec_id"), F.col("embedding")
+    )
+
+    # every third item repeats the blob of i - i%3 -> exact-copy pairs at
+    # cosine 1.0 (the fake decoder is content-deterministic)
+    dups = embedding_near_dup(emb, threshold=0.999)
+    pairs = {(r.a, r.b) for r in dups.collect()}
+    assert (0, 2) in pairs or (0, 1) in pairs  # group of item 0
+    assert all(b - b % 3 == a - a % 3 for a, b in pairs)
+
+    topk = cosine_topk(emb, query_ids=[0], k=2).collect()
+    assert topk[0].sim >= 0.999  # the copy ranks first
+
 from biblib_spark.operators.multimodal import (
     extract_media_features,
     frame_sample_plan,
