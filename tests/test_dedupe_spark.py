@@ -266,3 +266,8 @@ def test_recall_vs_reference_on_synthetic_corpus(spark):
 
     recall = len(expected_pairs & got_pairs) / len(expected_pairs)
     assert recall >= 0.99, f"dup-pair recall {recall:.4f} < 0.99"
+    # the stated metric gates recall only, but the extension tiers
+    # (identity / suffix / containment) must not merge beyond the reference
+    # semantics on this corpus either
+    precision = len(expected_pairs & got_pairs) / len(got_pairs)
+    assert precision >= 0.99, f"dup-pair precision {precision:.4f} < 0.99"
