@@ -72,16 +72,10 @@ def shingles(text: str, k: int) -> np.ndarray:
     h = np.zeros(win.shape[0], dtype=np.uint64)
     for j in range(win.shape[1]):
         h = h * _POLY + win[:, j]  # uint64 wrap is part of the hash
-    h &= _MASK32
     # murmur fmix32 avalanche: the raw polynomial over few low-entropy
     # codepoints leaves structure that measurably degrades the min-hash
     # Jaccard estimator; the finalizer restores it
-    h ^= h >> np.uint64(16)
-    h = (h * np.uint64(0x85EBCA6B)) & _MASK32
-    h ^= h >> np.uint64(13)
-    h = (h * np.uint64(0xC2B2AE35)) & _MASK32
-    h ^= h >> np.uint64(16)
-    return np.unique(h)
+    return np.unique(_fmix32(h & _MASK32))
 
 
 def minhash_signature(
@@ -118,39 +112,108 @@ def band_keys_matrix(sigs: np.ndarray, bands: int) -> np.ndarray:
     return h.astype(np.int64)
 
 
+def _fmix32(h: np.ndarray) -> np.ndarray:
+    h ^= h >> np.uint64(16)
+    h = (h * np.uint64(0x85EBCA6B)) & _MASK32
+    h ^= h >> np.uint64(13)
+    h = (h * np.uint64(0xC2B2AE35)) & _MASK32
+    h ^= h >> np.uint64(16)
+    return h
+
+
+def _batch_shingle_hashes(
+    titles_long: list[str], k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """All k-windows of all (len > k) titles hashed in ONE numpy pass.
+
+    Titles are concatenated with a non-codepoint separator; every window is
+    Horner-hashed in one vectorized sweep, then the windows that lie fully
+    inside each title are gathered by index (windows touching a separator
+    are simply never selected). Returns (hashes, reduceat offsets). Hash
+    values are identical to ``shingles()``, just WITHOUT the per-record
+    dedup — min-hash over a multiset equals min-hash over its set, so the
+    signatures are unchanged while the O(n log n) per-record unique and the
+    per-record numpy round-trips disappear.
+    """
+    sep = np.uint64(1) << np.uint64(40)  # no unicode codepoint reaches 2^40
+    parts: list[np.ndarray] = []
+    for t in titles_long:
+        parts.append(
+            np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+        )
+        parts.append(np.array([sep], dtype=np.uint64))
+    concat = np.concatenate(parts)
+    win = np.lib.stride_tricks.sliding_window_view(concat, k)
+    h = np.zeros(win.shape[0], dtype=np.uint64)
+    for j in range(k):
+        h = h * _POLY + win[:, j]
+    h = _fmix32(h & _MASK32)
+
+    lens = np.fromiter((len(t) for t in titles_long), dtype=np.int64)
+    counts = lens - k + 1  # valid windows per title (all lens > k here)
+    starts = np.concatenate(([0], np.cumsum(lens + 1)))[:-1]  # +1 per separator
+    total = int(counts.sum())
+    # grouped arange: global window index of each valid window
+    grp_start = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    idx = (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(grp_start, counts)
+        + np.repeat(starts, counts)
+    )
+    return h[idx], grp_start
+
+
 def lsh_keys_batch(
     titles: list, k: int, a: np.ndarray, b: np.ndarray, bands: int
 ) -> list[list[int]]:
     """Batch API: normalized titles -> per-title LSH band-key lists.
 
-    One segmented broadcast per ~64k shingles instead of one small numpy
-    round-trip per record."""
+    One concatenated window-hash pass + one segmented signature broadcast
+    per ~4k shingles instead of numpy round-trips per record."""
     n = len(titles)
     out: list[list[int]] = [[]] * n
-    shs: list[tuple[int, np.ndarray]] = []
+    long_idx: list[int] = []
+    long_titles: list[str] = []
+    short: list[tuple[int, np.ndarray]] = []  # rare: 0 < len <= k
     for i, t in enumerate(titles):
-        if isinstance(t, str) and t:
-            sh = shingles(t, k)
-            if sh.size:
-                shs.append((i, sh))
-    pos = 0
-    while pos < len(shs):
-        # grow the chunk until the shingle budget is hit
-        end = pos
-        total = 0
-        while end < len(shs) and (total == 0 or total + shs[end][1].size <= _SIG_CHUNK_SHINGLES):
-            total += shs[end][1].size
-            end += 1
-        idxs = [i for i, _ in shs[pos:end]]
-        arrs = [sh for _, sh in shs[pos:end]]
-        concat = np.concatenate(arrs)
-        offsets = np.cumsum([0] + [s.size for s in arrs[:-1]])
-        vals = (a[:, None] * concat[None, :] + b[:, None]) % _MERSENNE61
-        sigs = np.minimum.reduceat(vals, offsets, axis=1).T  # (chunk_n, num_perm)
-        keys = band_keys_matrix(sigs.astype(np.uint64), bands)
-        for row, i in enumerate(idxs):
-            out[i] = keys[row].tolist()
-        pos = end
+        if not isinstance(t, str) or not t:
+            continue
+        if len(t) > k:
+            long_idx.append(i)
+            long_titles.append(t)
+        else:
+            short.append((i, shingles(t, k)))
+
+    if long_titles:
+        hashes, offsets = _batch_shingle_hashes(long_titles, k)
+        row = 0
+        pos = 0
+        total_rows = len(long_titles)
+        bounds = np.concatenate((offsets, [hashes.size]))
+        while row < total_rows:
+            end_row = row
+            while (
+                end_row < total_rows
+                and (
+                    end_row == row
+                    or bounds[end_row + 1] - bounds[row] <= _SIG_CHUNK_SHINGLES
+                )
+            ):
+                end_row += 1
+            lo, hi = bounds[row], bounds[end_row]
+            vals = (a[:, None] * hashes[None, lo:hi] + b[:, None]) % _MERSENNE61
+            sigs = np.minimum.reduceat(
+                vals, (bounds[row:end_row] - lo).astype(np.int64), axis=1
+            ).T
+            keys = band_keys_matrix(sigs.astype(np.uint64), bands)
+            for r in range(row, end_row):
+                out[long_idx[r]] = keys[r - row].tolist()
+            row = end_row
+
+    for i, sh in short:
+        sig = minhash_signature(sh, a, b)
+        if sig is not None:
+            out[i] = band_keys(sig, bands)
     return out
 
 
