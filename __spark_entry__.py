@@ -323,9 +323,14 @@ def _q_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         "n_chars",
+        # guard: sequence() auto-steps DOWNWARD for len < 3 and would emit
+        # junk windows; texts too short for one 3-gram get an empty set,
+        # matching the oracle's empty range()
         F.expr(
-            "array_distinct(transform(sequence(1, length(text) - 2),"
+            "CASE WHEN length(text) >= 3 THEN"
+            " array_distinct(transform(sequence(1, length(text) - 2),"
             " i -> substring(text, i, 3)))"
+            " ELSE array() END"
         ).alias("grams"),
     )
     a = docs.select(

@@ -96,10 +96,12 @@ def band_keys(sig: np.ndarray, bands: int) -> list[int]:
 
 
 def band_keys_matrix(sigs: np.ndarray, bands: int) -> np.ndarray:
-    """(n, num_perm) signatures -> (n, bands) int64 band keys, vectorized."""
+    """(n, num_perm) signatures -> (n, bands) int64 band keys, vectorized.
+    A num_perm not divisible by bands ignores the tail permutations (same
+    semantics as the original per-band slicing)."""
     n, num_perm = sigs.shape
     rows = num_perm // bands
-    cube = sigs.reshape(n, bands, rows)
+    cube = sigs[:, : bands * rows].reshape(n, bands, rows)
     h = np.zeros((n, bands), dtype=np.uint64)
     for j in range(rows):
         h ^= cube[:, :, j] * _MIX1
@@ -171,7 +173,7 @@ def lsh_keys_batch(
     One concatenated window-hash pass + one segmented signature broadcast
     per ~4k shingles instead of numpy round-trips per record."""
     n = len(titles)
-    out: list[list[int]] = [[]] * n
+    out: list[list[int]] = [[] for _ in range(n)]
     long_idx: list[int] = []
     long_titles: list[str] = []
     short: list[tuple[int, np.ndarray]] = []  # rare: 0 < len <= k

@@ -156,6 +156,9 @@ def _parse_ris_line(line: str) -> tuple[str, str] | None:
             return tag, line[4:].strip()
         if line[2:3] == "-":
             return tag, line[3:].strip()
+        if len(line) > 2 and line[2] == " ":
+            # space-separator fallback, same as the bytes path below
+            return tag, line[2:].strip()
         return None
     raw = line.encode("utf-8")
     if len(raw) < 2:

@@ -114,7 +114,9 @@ def _planes(dim: int, n_planes: int, n_tables: int, seed: int) -> np.ndarray:
 
 
 def _pack(table: int, signs: np.ndarray) -> int:
-    # (table id, sign pattern) in one int64 join key
+    # (table id, sign pattern) in one int64 join key; the sign pattern must
+    # fit below the table-id bits
+    assert len(signs) <= 40, "n_planes > 40 would collide with the table id"
     return (table << 40) | int(
         np.packbits(signs.astype(np.uint8)).tobytes().hex(), 16
     )

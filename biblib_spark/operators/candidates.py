@@ -68,7 +68,9 @@ def self_join_pairs(
 IDENTITY_TIERS = (("doi", "doi"), ("pmid", "pmid"), ("accn", "accession_number"))
 
 
-def identity_keyed(feat: DataFrame) -> DataFrame:
+def identity_keyed(
+    feat: DataFrame, tiers: tuple = IDENTITY_TIERS
+) -> DataFrame:
     """(year_key, bkey, rid) rows for the exact-identity tier (C1)."""
     parts = [
         feat.filter(F.col(col).isNotNull() & (F.col(col) != "")).select(
@@ -76,7 +78,7 @@ def identity_keyed(feat: DataFrame) -> DataFrame:
             F.xxhash64(F.lit(salt), F.col(col)).alias("bkey"),
             "rid",
         )
-        for salt, col in IDENTITY_TIERS
+        for salt, col in tiers
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -166,7 +168,10 @@ def candidate_pairs(feat: DataFrame, cfg) -> DataFrame:
     """
     tiers: list[DataFrame] = []
 
-    tiers.append(identity_keyed(feat))
+    id_tiers = (
+        IDENTITY_TIERS if cfg.pmid_accession_tiers else IDENTITY_TIERS[:1]
+    )
+    tiers.append(identity_keyed(feat, id_tiers))
     if cfg.exact_title_tier:
         tiers.append(
             feat.filter(F.col("norm_title") != "").select(

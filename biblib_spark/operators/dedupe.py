@@ -47,6 +47,10 @@ class DedupConfig:
     # members (boilerplate titles at 10^12-row scale); AQE handles the rest
     # locally, so the default favors the single-shuffle path
     salted_pairs: bool = False
+    # C1 pmid/accession identity tiers (DOI is always on). Separately
+    # switchable so recall harnesses can prove the SIMILARITY tiers'
+    # coverage without registry-identifier shortcuts
+    pmid_accession_tiers: bool = True
     simhash_enabled: bool = True
     simhash_max_title: int = 24
     # redundant while LSH is on (identical normalized titles -> identical

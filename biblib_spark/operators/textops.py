@@ -159,17 +159,22 @@ def repetition_signals(docs: DataFrame, max_top_ratio: float = 0.2) -> DataFrame
     row via aggregate() over the split — no shuffle, no Python."""
     toks = F.split(F.trim(F.col("text")), r"\s+")
     n = F.size(toks)
-    # per-row histogram: fold tokens into a map<token, count>
-    hist = F.aggregate(
-        toks,
-        F.create_map().cast("map<string,int>"),
-        lambda acc, t: F.map_zip_with(
-            acc,
-            F.create_map(t, F.lit(1)),
-            lambda _k, v1, v2: F.coalesce(v1, F.lit(0)) + F.coalesce(v2, F.lit(0)),
-        ),
+    # top-token count = longest equal run of the SORTED tokens — O(n log n)
+    # per row (a map-fold histogram would copy the accumulator per token,
+    # O(n * distinct) allocation)
+    init = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
     )
-    top = F.array_max(F.map_values(hist))
+
+    def _step(acc, t):
+        run = F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            t.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    top = F.aggregate(F.array_sort(toks), init, _step, lambda acc: acc["best"])
     n_distinct = F.size(F.array_distinct(toks))
     top_ratio = F.round(top / n, 4)
     return docs.select(

@@ -62,7 +62,11 @@ def _partition_stats(df: DataFrame) -> dict[str, dict]:
     """
     cols = [f.name for f in df.schema.fields if _hashable(f.dataType)]
     hexpr = (
-        F.expr("bit_xor(xxhash64(" + ", ".join(cols) + "))")
+        F.expr(
+            "bit_xor(xxhash64("
+            + ", ".join(f"`{c}`" for c in cols)  # reserved-word-safe
+            + "))"
+        )
         if cols
         else F.lit(0)
     )

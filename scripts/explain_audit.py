@@ -37,8 +37,9 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
     "ann_topk": (["BroadcastNestedLoopJoin"], []),  # intentional baseline
 }
 
-#: every audited plan must avoid the single-partition window funnel
-GLOBAL_FORBIDDEN = ["Window [", "PartitionBy: []"]
+#: every audited plan must avoid the single-partition funnel an
+#: unpartitioned window (or global sort without limit) plans as
+GLOBAL_FORBIDDEN = ["Exchange SinglePartition"]
 
 
 def main() -> int:
@@ -55,13 +56,9 @@ def main() -> int:
         for frag in required:
             if frag not in plan:
                 problems.append(f"missing {frag!r}")
-        for frag in forbidden:
+        for frag in forbidden + GLOBAL_FORBIDDEN:
             if frag in plan:
                 problems.append(f"forbidden {frag!r} present")
-        # windows must always be partitioned
-        for line in plan.splitlines():
-            if "Window" in line and "windowspecdefinition()" in line:
-                problems.append("unpartitioned window")
         formatted = df._jdf.queryExecution().explainString(
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
                 "formatted"

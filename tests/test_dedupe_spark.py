@@ -271,3 +271,15 @@ def test_recall_vs_reference_on_synthetic_corpus(spark):
     # semantics on this corpus either
     precision = len(expected_pairs & got_pairs) / len(got_pairs)
     assert precision >= 0.99, f"dup-pair precision {precision:.4f} < 0.99"
+
+    # the synthetic corpus carries the ground-truth work id in the RIS AN
+    # tag, which the accession identity tier legitimately keys on — so also
+    # prove the SIMILARITY tiers meet the gate without that shortcut
+    _, clusters_sim, _ = _run(
+        spark, cits, DedupConfig(pmid_accession_tiers=False)
+    )
+    got_sim = _spark_pairs(clusters_sim)
+    recall_sim = len(expected_pairs & got_sim) / len(expected_pairs)
+    assert recall_sim >= 0.99, (
+        f"similarity-tier recall {recall_sim:.4f} < 0.99 (no pmid/accession)"
+    )

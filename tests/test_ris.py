@@ -212,3 +212,22 @@ def test_journal_priority():
     citations, _ = parse_ris(input_)
     assert citations[0]["journal"] == "Secondary Journal"
     assert citations[0]["journal_abbr"] == "Abbrev J"
+
+
+def test_space_separator_fallback_ascii_fast_path():
+    """Regression: the ASCII fast path must keep the bytes path's
+    space-separator fallback (reference src/ris/parse.rs:139-210). A line
+    with leading whitespace is NOT a continuation (first char not alnum),
+    and its stripped form 'TI Example' parses via the ' ' fallback."""
+    from biblib_spark.kernels.ris import _parse_ris_line, parse_ris
+
+    assert _parse_ris_line("TI Example title") == ("TI", "Example title")
+    assert _parse_ris_line("TI- Example") == ("TI", "Example")
+    assert _parse_ris_line("TI") is None
+    # non-ascii content takes the bytes path; same fallback
+    assert _parse_ris_line("TI Exämple") == ("TI", "Exämple")
+
+    text = "TY  - JOUR\n TI Example title\nER  -\n"
+    cits, errors = parse_ris(text)
+    assert len(cits) == 1
+    assert cits[0]["title"] == "Example title"
