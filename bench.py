@@ -32,9 +32,13 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 _SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else 0.1
 # payload count scales with sf; sf0.1 -> 20k payloads (~50k citation records)
 NUM_PAYLOADS = max(400, int(200_000 * _SF))
-# the N-vs-4N scaling protocol needs a compute-dominated input; below ~500k
-# records the local job is coordination-bound and the ratio is meaningless
-SCALING_PAYLOADS = int(os.environ.get("SPARK_GRAFT_SCALE_PAYLOADS", "300000"))
+# the N-vs-4N scaling protocol needs a compute-dominated input: the job has
+# ~8 s of core-count-independent cost (driver scheduling, AQE planning,
+# stage barriers) that dilutes the ratio at small inputs — 400k payloads
+# (~1.02M records) amortizes it (measured: efficiency 0.63 at 300k -> 0.71
+# at 600k on the same quiet window) while keeping the whole bench inside
+# ~11 min even on a contended window
+SCALING_PAYLOADS = int(os.environ.get("SPARK_GRAFT_SCALE_PAYLOADS", "400000"))
 SEED = 42
 
 
