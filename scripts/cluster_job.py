@@ -58,16 +58,27 @@ def main() -> None:
     dedupe_corpus(warm).count()
 
     runs = []
+    loads = []
     n = 0
     for _ in range(repeats):
         t0 = time.time()
         clusters = dedupe_corpus(corpus)
         n = clusters.count()
         runs.append(round(time.time() - t0, 3))
+        # host 1-min load right after the run: this VM has noisy neighbors,
+        # and a load far above this job's own core count explains (and
+        # documents) slow samples
+        loads.append(round(os.getloadavg()[0], 1))
     spark.stop()
     print(
         json.dumps(
-            {"records": n, "seconds": min(runs), "cores": cores, "runs": runs}
+            {
+                "records": n,
+                "seconds": min(runs),
+                "cores": cores,
+                "runs": runs,
+                "loadavg_after_runs": loads,
+            }
         )
     )
 
