@@ -68,11 +68,10 @@ def main() -> None:
     do_scaling = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
 
     # headline pipeline at full cores (cold process, warmed JVM), interleaved
-    # with the small-cluster level when the scaling protocol is on. The big
-    # level gets one extra in-process repeat: a noisy neighbor overlaps all
-    # 32 of its cores but only part of the pinned 8-core set, so the big
-    # level needs more chances to catch a quiet slice
-    big_runs: list[dict] = [_run_cluster_job(CPUS, SCALING_PAYLOADS, repeats=3)]
+    # with the small-cluster level when the scaling protocol is on; best-of
+    # 2 repeats x 2 processes per level keeps the whole bench inside ~10 min
+    # quiet / ~16 min contended
+    big_runs: list[dict] = [_run_cluster_job(CPUS, SCALING_PAYLOADS, repeats=2)]
     small_runs: list[dict] = []
     if do_scaling:
         for i in range(scale_rounds):
@@ -81,7 +80,7 @@ def main() -> None:
             )
             if i + 1 < scale_rounds:
                 big_runs.append(
-                    _run_cluster_job(CPUS, SCALING_PAYLOADS, repeats=3)
+                    _run_cluster_job(CPUS, SCALING_PAYLOADS, repeats=2)
                 )
 
     big = min(big_runs, key=lambda r: r["seconds"])
