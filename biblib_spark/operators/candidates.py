@@ -26,24 +26,14 @@ from pyspark.sql import functions as F
 
 
 
-def self_join_pairs(
-    keyed: DataFrame, keys: list[str], max_bucket: int
-) -> DataFrame:
-    """(keys..., rid) -> candidate pairs (a, b) with a < b.
+def pairs_from_rid_lists(grouped: DataFrame, max_bucket: int) -> DataFrame:
+    """(rids sorted-array) rows -> candidate pairs (a, b) with a < b.
 
-    ONE shuffle: groupBy bucket -> sorted rid array; singleton buckets (the
-    overwhelming majority at scale) die in the aggregation; pair expansion is
-    a JVM-side double explode (no second shuffle, no window sort). Buckets
-    within ``max_bucket`` produce all pairs; oversize buckets produce star
-    pairs against the min-rid element (C7).
+    Pair expansion is a JVM-side double explode (no second shuffle, no window
+    sort). Buckets within ``max_bucket`` produce all pairs; oversize buckets
+    produce star pairs against the min-rid element (C7).
     """
-    grouped = (
-        keyed.groupBy(*[F.col(k) for k in keys])
-        .agg(F.sort_array(F.collect_list("rid")).alias("rids"))
-        .filter(F.size("rids") > 1)
-        .select("rids")
-    )
-
+    grouped = grouped.filter(F.size("rids") > 1).select("rids")
     small = grouped.filter(F.size("rids") <= max_bucket)
     full_pairs = (
         small.select(F.explode("rids").alias("a"), F.col("rids"))
@@ -60,6 +50,21 @@ def self_join_pairs(
     )
 
     return full_pairs.unionByName(star_pairs)
+
+
+def self_join_pairs(
+    keyed: DataFrame, keys: list[str], max_bucket: int
+) -> DataFrame:
+    """(keys..., rid) -> candidate pairs (a, b) with a < b.
+
+    ONE shuffle: groupBy bucket -> sorted rid array; singleton buckets (the
+    overwhelming majority at scale) die in the aggregation; see
+    ``pairs_from_rid_lists`` for the expansion / star-cap policy.
+    """
+    grouped = keyed.groupBy(*[F.col(k) for k in keys]).agg(
+        F.sort_array(F.collect_list("rid")).alias("rids")
+    )
+    return pairs_from_rid_lists(grouped, max_bucket)
 
 
 #: C1 exact-identity tier: (tier salt, feature column). Two records sharing
@@ -156,56 +161,151 @@ def self_join_pairs_salted(
     return small_pairs.unionByName(big_pairs)
 
 
-def candidate_pairs(feat: DataFrame, cfg) -> DataFrame:
-    """All tiers unioned and deduped (C5). ``feat`` must carry
-    rid, year_key, doi, norm_title, lsh_keys, simhash_keys.
-
-    Every tier key is hashed into ONE int64 ``bkey`` column (tier-salted
-    xxhash64) and all tiers share a single window + self-join — one shuffle
-    for bucket sizing, one for the join, instead of one pair per tier. Hash
-    collisions across tiers only add candidates; the verify predicate keeps
-    precision exact.
-    """
-    tiers: list[DataFrame] = []
-
-    id_tiers = (
-        IDENTITY_TIERS if cfg.pmid_accession_tiers else IDENTITY_TIERS[:1]
-    )
-    tiers.append(identity_keyed(feat, id_tiers))
-    if cfg.exact_title_tier:
-        tiers.append(
-            feat.filter(F.col("norm_title") != "").select(
-                "year_key",
-                F.xxhash64(F.lit("title"), F.col("norm_title")).alias("bkey"),
-                "rid",
-            )
-        )
-    tiers.append(
-        feat.select(
-            "year_key", F.explode("lsh_keys").alias("k"), "rid"
+def _group_keyed(tg: DataFrame, cfg) -> DataFrame:
+    """(year_key, bkey, rid=tgid) rows for the similarity tiers, one row set
+    per DISTINCT normalized title instead of per record."""
+    tiers = [
+        tg.select(
+            "year_key", F.explode("lsh_keys").alias("k"), F.col("tgid").alias("rid")
         ).select(
             "year_key", F.xxhash64(F.lit("lsh"), F.col("k")).alias("bkey"), "rid"
         )
-    )
+    ]
     if cfg.simhash_enabled:
         tiers.append(
-            feat.select(
-                "year_key", F.explode("simhash_keys").alias("k"), "rid"
+            tg.select(
+                "year_key",
+                F.explode("simhash_keys").alias("k"),
+                F.col("tgid").alias("rid"),
             ).select(
                 "year_key", F.xxhash64(F.lit("sim"), F.col("k")).alias("bkey"), "rid"
             )
         )
+    grouped_feat = tg.select(
+        "year_key", "norm_title", F.col("tgid").alias("rid")
+    )
     if cfg.prefix_tier:
-        tiers.append(affix_keyed(feat, "prefix", cfg.prefix_len))
+        tiers.append(affix_keyed(grouped_feat, "prefix", cfg.prefix_len))
     if cfg.suffix_tier:
-        tiers.append(affix_keyed(feat, "suffix", cfg.prefix_len))
-
+        tiers.append(affix_keyed(grouped_feat, "suffix", cfg.prefix_len))
     keyed = tiers[0]
     for t in tiers[1:]:
         keyed = keyed.unionByName(t)
-    # no pre-distinct: (bucket, rid) rows are already unique within each tier
-    # and the tier salt keeps them distinct across tiers
-    gen = self_join_pairs_salted if cfg.salted_pairs else self_join_pairs
-    pairs = gen(keyed, ["year_key", "bkey"], cfg.max_bucket)
+    return keyed
+
+
+def candidate_pairs(feat: DataFrame, cfg) -> DataFrame:
+    """All tiers unioned and deduped (C5). ``feat`` must carry
+    rid, year_key, doi, norm_title, lsh_keys, simhash_keys.
+
+    Records are first grouped by (year_key, xxhash64(norm_title)) — the
+    "title group". Every record of a group shares IDENTICAL lsh/simhash/affix
+    keys (they are pure functions of norm_title), so the similarity tiers run
+    over one representative per group instead of per record: at web scale
+    most duplicates are exact-normalized-content duplicates, and this
+    collapses both the keyed-union shuffle and the pair-dedup volume by the
+    duplication factor. Tier structure:
+
+    - within-group: all pairs of a title group (star-capped at max_bucket) —
+      subsumes the exact-title tier;
+    - cross-group: LSH band / SimHash quarter / affix keys over group
+      representatives -> distinct group pairs -> expanded to record pairs
+      (each side's members capped at max_bucket; beyond-cap members stay
+      reachable through the within-group star seed);
+    - identity (C1): record-keyed equi-join tiers as before (doi/pmid/accn
+      are NOT functions of the title).
+
+    A 64-bit title-hash collision can only MERGE two groups, which adds
+    candidates (verify keeps precision exact) and can hide the smaller
+    group's similarity keys (F.first) — at 10^12 rows the expected number of
+    colliding title pairs is ~30 globally, each still covered by the
+    within-group and identity tiers. Every tier key is hashed into ONE int64
+    ``bkey`` column (tier-salted xxhash64); hash collisions across tiers
+    only add candidates.
+    """
+    id_tiers = (
+        IDENTITY_TIERS if cfg.pmid_accession_tiers else IDENTITY_TIERS[:1]
+    )
+    id_pairs = (
+        self_join_pairs_salted if cfg.salted_pairs else self_join_pairs
+    )(identity_keyed(feat, id_tiers), ["year_key", "bkey"], cfg.max_bucket)
+
+    tkey = F.xxhash64(F.lit("tg"), F.col("norm_title"))
+    if cfg.salted_pairs:
+        # skew-hardened twin: no task ever materializes a whole title group.
+        # Group sizes via salted two-level agg; small groups collect bounded
+        # rid lists; oversize groups contribute (a) star pairs streamed
+        # through a row-at-a-time join and (b) their seed row to the
+        # similarity tiers (members beyond the seed reach clusters through
+        # the star edges).
+        keyed_t = feat.select("year_key", tkey.alias("bkey"), "rid")
+        wg_pairs = self_join_pairs_salted(
+            keyed_t, ["year_key", "bkey"], cfg.max_bucket
+        )
+        salted = keyed_t.groupBy(
+            "year_key", "bkey", F.pmod(F.xxhash64("rid"), F.lit(16)).alias("__s")
+        ).agg(F.count(F.lit(1)).alias("c"), F.min("rid").alias("m"))
+        sizes = salted.groupBy("year_key", "bkey").agg(
+            F.sum("c").alias("n"), F.min("m").alias("min_rid")
+        )
+        small_members = (
+            feat.select("year_key", tkey.alias("bkey"), "rid")
+            .join(
+                sizes.filter(F.col("n") <= cfg.max_bucket).select(
+                    "year_key", "bkey"
+                ),
+                ["year_key", "bkey"],
+            )
+            .groupBy("year_key", "bkey")
+            .agg(F.sort_array(F.collect_list("rid")).alias("rids"))
+        )
+        big_members = sizes.filter(F.col("n") > cfg.max_bucket).select(
+            "year_key", "bkey", F.array("min_rid").alias("rids")
+        )
+        members = small_members.unionByName(big_members).withColumn(
+            "tgid", F.col("rids")[0]
+        )
+        rep = feat.select(
+            "year_key",
+            tkey.alias("bkey"),
+            F.col("rid").alias("tgid"),
+            "norm_title",
+            "lsh_keys",
+            "simhash_keys",
+        ).join(members.select("year_key", "bkey", "tgid"), ["year_key", "bkey", "tgid"])
+        tg = rep.join(members.select("tgid", "rids"), "tgid")
+        gen = self_join_pairs_salted
+    else:
+        tg = (
+            feat.groupBy("year_key", tkey.alias("tkey"))
+            .agg(
+                F.sort_array(F.collect_list("rid")).alias("rids"),
+                F.first("norm_title").alias("norm_title"),
+                F.first("lsh_keys").alias("lsh_keys"),
+                F.first("simhash_keys").alias("simhash_keys"),
+            )
+            .withColumn("tgid", F.col("rids")[0])
+        )
+        wg_pairs = pairs_from_rid_lists(tg, cfg.max_bucket)
+        gen = self_join_pairs
+
+    # cross-group candidate pairs over group representatives
+    tg_pairs = gen(
+        _group_keyed(tg.filter(F.col("norm_title") != ""), cfg),
+        ["year_key", "bkey"],
+        cfg.max_bucket,
+    ).distinct()
+    mem = tg.select("tgid", F.slice("rids", 1, cfg.max_bucket).alias("mrids"))
+    cross_pairs = (
+        tg_pairs.join(
+            mem.select(F.col("tgid").alias("a"), F.col("mrids").alias("arids")), "a"
+        )
+        .join(mem.select(F.col("tgid").alias("b"), F.col("mrids").alias("brids")), "b")
+        .select(F.explode("arids").alias("x"), "brids")
+        .select("x", F.explode("brids").alias("y"))
+        .select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
+    )
+
+    pairs = wg_pairs.unionByName(id_pairs).unionByName(cross_pairs)
     # C5: one verify per unordered pair (same pair can surface in many tiers)
     return pairs.distinct()

@@ -17,13 +17,14 @@ Null semantics preserved exactly:
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType
 
-from biblib_spark.kernels.similarity import jaro, jaro_winkler
+from biblib_spark.kernels.similarity import jaro_batch
 
 DOI_TITLE_SIMILARITY_THRESHOLD = 0.85  # dedupe.rs:141
 NO_DOI_TITLE_SIMILARITY_THRESHOLD = 0.93  # dedupe.rs:142
@@ -43,19 +44,26 @@ _FEATURE_COLS = [
 
 @pandas_udf(DoubleType())
 def _title_sim_udf(t1: pd.Series, t2: pd.Series, both_doi: pd.Series) -> pd.Series:
-    out = []
-    for a, b, jd in zip(t1, t2, both_doi):
-        a = a if isinstance(a, str) else ""
-        b = b if isinstance(b, str) else ""
-        if a == b:
-            # strsim parity: jaro(x, x) == jaro_winkler(x, x) == 1.0 (also
-            # for ""). Most true duplicates normalize to IDENTICAL titles, so
-            # this fast path skips the O(len*window) scan for the bulk of
-            # accepted pairs.
-            out.append(1.0)
-        else:
-            out.append(jaro(a, b) if jd else jaro_winkler(a, b))
-    return pd.Series(out, dtype="float64")
+    """Numpy-batched jaro/jaro_winkler (strsim-0.11.1 parity, property-tested
+    against the scalar kernels in tests/test_similarity.py).
+
+    Fast path: strsim parity gives jaro(x, x) == jaro_winkler(x, x) == 1.0
+    (also for ""), and most true duplicates normalize to IDENTICAL titles —
+    only unequal pairs enter the vectorized block kernel.
+    """
+    a = t1.fillna("")
+    b = t2.fillna("")
+    out = np.ones(len(a), dtype=np.float64)
+    neq = (a != b).to_numpy()
+    if neq.any():
+        idx = np.nonzero(neq)[0]
+        winkler = ~both_doi.fillna(False).to_numpy(dtype=bool)[idx]
+        a_l = a.to_numpy(dtype=object)
+        b_l = b.to_numpy(dtype=object)
+        out[idx] = jaro_batch(
+            [a_l[i] for i in idx], [b_l[i] for i in idx], winkler=winkler
+        )
+    return pd.Series(out)
 
 
 def _side(feat: DataFrame, side: str) -> DataFrame:

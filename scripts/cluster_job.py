@@ -57,27 +57,44 @@ def main() -> None:
     warm = spark.read.parquet(_corpus_path(spark, WARMUP_PAYLOADS, seed))
     dedupe_corpus(warm).count()
 
+    from biblib_spark.hostload import ExternalLoadMeter, tree_cpu_seconds
+
+    meter = ExternalLoadMeter()
     runs = []
     loads = []
+    ext_loads = []
+    utils = []
     n = 0
     for _ in range(repeats):
+        meter.start()
+        cpu0 = tree_cpu_seconds()
         t0 = time.time()
         clusters = dedupe_corpus(corpus)
         n = clusters.count()
-        runs.append(round(time.time() - t0, 3))
-        # host 1-min load right after the run: this VM has noisy neighbors,
-        # and a load far above this job's own core count explains (and
-        # documents) slow samples
+        el = time.time() - t0
+        runs.append(round(el, 3))
+        # external contention during THIS run: machine busy cores minus this
+        # process tree's own cores (loadavg can't tell the two apart)
+        ext_loads.append(round(meter.stop(), 2))
+        utils.append(round((tree_cpu_seconds() - cpu0) / el, 1))
         loads.append(round(os.getloadavg()[0], 1))
+        # each run localCheckpoints its features; drop them between repeats
+        # or the accumulated blocks GC-thrash later runs
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
     spark.stop()
+    best = min(range(len(runs)), key=lambda i: runs[i])
     print(
         json.dumps(
             {
                 "records": n,
-                "seconds": min(runs),
+                "seconds": runs[best],
                 "cores": cores,
                 "runs": runs,
                 "loadavg_after_runs": loads,
+                "external_cores_during_runs": ext_loads,
+                "external_cores_best_run": ext_loads[best],
+                "own_cores_during_runs": utils,
             }
         )
     )

@@ -57,3 +57,49 @@ def test_threshold_band_behavior():
     assert jaro_winkler(t1, t2) >= 0.99
     t3 = "deeplearningforproteinfolding"
     assert jaro(t1, t3) < 0.85
+
+
+# ---------------------------------------------------------------------------
+# Batch (numpy block) kernel parity with the scalar reference kernels
+# ---------------------------------------------------------------------------
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from biblib_spark.kernels.similarity import jaro_batch
+
+_text = st.text(
+    alphabet=st.characters(
+        codec="utf-8", categories=("L", "N", "P", "Zs", "Cc")
+    ),
+    max_size=40,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(st.tuples(_text, _text, st.booleans()), min_size=1, max_size=50))
+def test_jaro_batch_matches_scalar(pairs):
+    a = [p[0] for p in pairs]
+    b = [p[1] for p in pairs]
+    wk = np.array([p[2] for p in pairs], dtype=bool)
+    got = jaro_batch(a, b, winkler=wk)
+    for i, (x, y, w) in enumerate(pairs):
+        exp = jaro_winkler(x, y) if w else jaro(x, y)
+        assert got[i] == pytest.approx(exp, abs=1e-12), (x, y, w)
+
+
+def test_jaro_batch_empty_and_nul():
+    assert jaro_batch([], []).shape == (0,)
+    got = jaro_batch(["a\x00b", "", "xy"], ["a\x00b", "", "yx"])
+    assert got[0] == 1.0 and got[1] == 1.0
+    assert got[2] == pytest.approx(jaro("xy", "yx"), abs=1e-12)
+
+
+def test_jaro_batch_mixed_lengths_cross_block():
+    # lengths spanning several pad-width groups in one call
+    a = ["x" * n for n in (0, 1, 5, 33, 70, 150, 301)]
+    b = [("x" * (n - 1) + "y") if n else "" for n in (0, 1, 5, 33, 70, 150, 301)]
+    got = jaro_batch(a, b)
+    for i in range(len(a)):
+        assert got[i] == pytest.approx(jaro(a[i], b[i]), abs=1e-12)
