@@ -318,8 +318,11 @@ def _q_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sequence/transform/array_distinct/array_intersect — no Python). The
     same-lang equi-join + length-band filter is the small-scale candidate
     policy; at 10^12 docs the MinHash-LSH tier (near_dup_minhash) generates
-    candidates and THIS computation is the verify arm."""
-    docs = _docs(spark, sf_dir).select(
+    candidates and THIS computation is the verify arm. The input is
+    EXPLICITLY capped at doc_id < 20000 (a no-op at the sf0.01 gate scale)
+    so the contract entry's plan is bounded-quadratic, never
+    quadratic-in-table-size."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 20000).select(
         "doc_id",
         "lang",
         "n_chars",
@@ -373,31 +376,77 @@ def _q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs cosine near-dup — the correctness anchor for the LSH-bucket
+    scale path (see ann.embedding_near_dup docstring). Input EXPLICITLY
+    capped at vec_id < 20000 (no-op at gate scale) so the plan is
+    bounded-quadratic, never quadratic-in-table-size."""
     from biblib_spark.operators.ann import embedding_near_dup
 
-    return embedding_near_dup(_emb(spark, sf_dir), threshold=0.4)
+    return embedding_near_dup(
+        _emb(spark, sf_dir).filter(F.col("vec_id") < 20000), threshold=0.4
+    )
 
 
 def _q_near_dup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Doc-level SimHash near-dup (quarter-key candidates + JVM hamming
-    verify). Rows-only: the simhash itself isn't SQL-expressible."""
+    verify). Oracle: the (rid, simhash64) fixture parquet — built pure-Python
+    from the same kernel (biblib_spark/docfixtures.py) — lets DuckDB replay
+    quarter keys, star cap, and bit_count(xor) exactly."""
+    from biblib_spark.docfixtures import ensure_doc_fixture
     from biblib_spark.operators.textops import near_dup_pairs_simhash
 
+    ensure_doc_fixture()
     return near_dup_pairs_simhash(_docs(spark, sf_dir), max_hamming=20)
 
 
 def _q_near_dup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates + exact 3-gram Jaccard verify. Oracle: the
+    (rid, band_key) fixture parquet replays the bucket join + star cap; the
+    Jaccard verify arm is plain ANSI SQL over the documents view."""
+    from biblib_spark.docfixtures import ensure_doc_fixture
     from biblib_spark.operators.textops import near_dup_pairs_minhash
 
+    ensure_doc_fixture()
     return near_dup_pairs_minhash(_docs(spark, sf_dir), threshold=0.5)
 
 
 def _q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biblib_spark.docfixtures import ensure_doc_fixture
     from biblib_spark.operators.ann import cosine_topk_lsh
 
+    ensure_doc_fixture()
     # 6 hyperplanes -> 64 sign buckets; at sf0.01 (500 vectors) that keeps
-    # ~8 candidates per bucket so top-5 is usually fillable
-    return cosine_topk_lsh(_emb(spark, sf_dir), query_ids=[0, 1, 2], k=5, n_planes=6)
+    # ~8 candidates per bucket so top-5 is usually fillable. Oracle: the
+    # (query_id, neighbor_id) probe-candidate fixture + exact cosine rank.
+    return cosine_topk_lsh(
+        _emb(spark, sf_dir), query_ids=[0, 1, 2], k=5, n_planes=6
+    ).withColumn("rank", F.col("rank").cast("long"))
+
+
+def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality gate in the contract: recall@5 of the multi-table
+    multi-probe LSH (12 planes x 4 tables, 3 probe bits) vs exact cosine
+    top-5 over the seeded planted-neighbor table (docfixtures.py — no
+    runtime collect). A multi-probe regression below ~0.9 trips the hash."""
+    from biblib_spark.docfixtures import ANN_PLANTED, ensure_doc_fixture
+    from biblib_spark.operators.ann import cosine_topk, cosine_topk_lsh
+
+    ensure_doc_fixture()
+    planted = spark.read.parquet(ANN_PLANTED)
+    exact = cosine_topk(planted, [0, 1, 2], k=5)
+    lsh = cosine_topk_lsh(
+        planted, [0, 1, 2], k=5, n_planes=12, n_tables=4, probe_bits=3, seed=7
+    )
+    hits = exact.join(
+        lsh.select("query_id", "neighbor_id").withColumn("hit", F.lit(1)),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    return (
+        hits.groupBy("query_id")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hits"))
+        .withColumn("recall", F.round(F.col("n_hits") / 5.0, 2))
+    )
 
 
 def _q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -522,6 +571,113 @@ def _q_cite_election_abstract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return elect_representatives(clusters, []).select(
         "rid", "cluster_id", F.col("is_unique").cast("int").alias("is_unique")
     )
+
+
+def _doc_oracles() -> dict[str, str]:
+    """Oracles for the kernel-backed doc/embedding operators. The non-SQL
+    parts (simhash, band keys, LSH buckets) come from the pure-Python-built
+    fixture parquet (docfixtures.py, same kernels as the UDFs); the operator
+    itself — star-capped bucket self-join (C7), hamming / Jaccard / cosine
+    verify, top-k rank — is re-implemented here independently in SQL."""
+    from biblib_spark.docfixtures import (
+        ANN_CAND_PLAIN,
+        ANN_CAND_PLANTED,
+        ANN_PLANTED,
+        DOC_BANDS,
+        DOC_SIMHASH,
+        ensure_doc_fixture,
+    )
+
+    ensure_doc_fixture()
+    return {
+        "near_dup_simhash": (
+            f"WITH s AS (SELECT rid, sh FROM read_parquet('{DOC_SIMHASH}')),"
+            " k AS (SELECT rid, (q::BIGINT << 16) | ((sh >> (16*q)) & 65535)"
+            "  AS bkey FROM s, range(4) t(q)),"
+            " g AS (SELECT bkey, count(*) AS n, min(rid) AS mn FROM k"
+            "  GROUP BY bkey),"
+            " small AS (SELECT k1.rid AS a, k2.rid AS b FROM k k1"
+            "  JOIN k k2 ON k1.bkey = k2.bkey AND k1.rid < k2.rid"
+            "  JOIN g ON g.bkey = k1.bkey AND g.n <= 64),"
+            " big AS (SELECT g.mn AS a, k.rid AS b FROM k"
+            "  JOIN g ON g.bkey = k.bkey AND g.n > 64 AND k.rid <> g.mn),"
+            " cand AS (SELECT DISTINCT a, b FROM"
+            "  (SELECT * FROM small UNION ALL SELECT * FROM big))"
+            " SELECT c.a, c.b, bit_count(xor(s1.sh, s2.sh))::INT AS hamming"
+            " FROM cand c JOIN s s1 ON c.a = s1.rid JOIN s s2 ON c.b = s2.rid"
+            " WHERE bit_count(xor(s1.sh, s2.sh)) <= 20"
+        ),
+        "near_dup_minhash": (
+            f"WITH kk AS (SELECT rid, lsh_key FROM read_parquet('{DOC_BANDS}')),"
+            " g AS (SELECT lsh_key, count(*) AS n, min(rid) AS mn FROM kk"
+            "  GROUP BY lsh_key),"
+            " small AS (SELECT k1.rid AS a, k2.rid AS b FROM kk k1"
+            "  JOIN kk k2 ON k1.lsh_key = k2.lsh_key AND k1.rid < k2.rid"
+            "  JOIN g ON g.lsh_key = k1.lsh_key AND g.n <= 64),"
+            " big AS (SELECT g.mn AS a, kk.rid AS b FROM kk"
+            "  JOIN g ON g.lsh_key = kk.lsh_key AND g.n > 64 AND kk.rid <> g.mn),"
+            " cand AS (SELECT DISTINCT a, b FROM"
+            "  (SELECT * FROM small UNION ALL SELECT * FROM big)),"
+            " t AS (SELECT doc_id,"
+            "  regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS nt"
+            "  FROM documents),"
+            " gs AS (SELECT doc_id, CASE WHEN length(nt) >= 3 THEN"
+            "   list_distinct([substring(nt, i, 3)"
+            "     FOR i IN range(1, length(nt) - 1)])"
+            "  WHEN length(nt) > 0 THEN [nt] ELSE [] END AS grams FROM t),"
+            " j AS (SELECT c.a, c.b,"
+            "  len(list_intersect(g1.grams, g2.grams))::DOUBLE"
+            "   / len(list_distinct(g1.grams || g2.grams)) AS jaccard"
+            "  FROM cand c JOIN gs g1 ON c.a = g1.doc_id"
+            "  JOIN gs g2 ON c.b = g2.doc_id)"
+            " SELECT a, b, round(jaccard, 4) AS jaccard FROM j"
+            " WHERE jaccard >= 0.5"
+        ),
+        "ann_topk_lsh": (
+            "WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS vec"
+            "  FROM embeddings),"
+            f" c AS (SELECT query_id, neighbor_id"
+            f"  FROM read_parquet('{ANN_CAND_PLAIN}')),"
+            " scored AS (SELECT c.query_id, c.neighbor_id,"
+            "  list_dot_product(b.vec, q.vec)"
+            "   / (sqrt(list_dot_product(b.vec, b.vec))"
+            "    * sqrt(list_dot_product(q.vec, q.vec))) AS s"
+            "  FROM c JOIN base b ON c.neighbor_id = b.vec_id"
+            "  JOIN base q ON c.query_id = q.vec_id),"
+            " ranked AS (SELECT query_id, neighbor_id, row_number() OVER"
+            "  (PARTITION BY query_id ORDER BY s DESC, neighbor_id ASC) AS rank,"
+            "  round(s, 4) AS sim FROM scored)"
+            " SELECT query_id, neighbor_id, rank, sim FROM ranked WHERE rank <= 5"
+        ),
+        "ann_recall": (
+            f"WITH base AS (SELECT vec_id, embedding AS vec"
+            f"  FROM read_parquet('{ANN_PLANTED}')),"
+            " q AS (SELECT vec_id AS query_id, vec AS qvec FROM base"
+            "  WHERE vec_id IN (0, 1, 2)),"
+            " scored AS (SELECT q.query_id, b.vec_id AS neighbor_id,"
+            "  list_dot_product(b.vec, q.qvec)"
+            "   / (sqrt(list_dot_product(b.vec, b.vec))"
+            "    * sqrt(list_dot_product(q.qvec, q.qvec))) AS s"
+            "  FROM base b, q WHERE b.vec_id <> q.query_id),"
+            " exact5 AS (SELECT query_id, neighbor_id FROM"
+            "  (SELECT query_id, neighbor_id, row_number() OVER"
+            "   (PARTITION BY query_id ORDER BY s DESC, neighbor_id ASC) AS rn"
+            "   FROM scored) WHERE rn <= 5),"
+            f" cand AS (SELECT query_id, neighbor_id"
+            f"  FROM read_parquet('{ANN_CAND_PLANTED}')),"
+            " lsh5 AS (SELECT query_id, neighbor_id FROM"
+            "  (SELECT sc.query_id, sc.neighbor_id, row_number() OVER"
+            "   (PARTITION BY sc.query_id ORDER BY sc.s DESC,"
+            "    sc.neighbor_id ASC) AS rn"
+            "   FROM scored sc JOIN cand USING (query_id, neighbor_id))"
+            "  WHERE rn <= 5)"
+            " SELECT e.query_id, count(l.neighbor_id)::BIGINT AS n_hits,"
+            "  round(count(l.neighbor_id) / 5.0, 2) AS recall"
+            " FROM exact5 e LEFT JOIN lsh5 l"
+            "  ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id"
+            " GROUP BY e.query_id"
+        ),
+    }
 
 
 def _cite_oracles() -> dict[str, str]:
@@ -687,13 +843,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cite_containment": _q_cite_containment,
         "cite_election_prefs": _q_cite_election_prefs,
         "cite_election_abstract": _q_cite_election_abstract,
-        # non-SQL-expressible (rows-only checks)
-        "media_features": _q_media_features,
-        "media_frames": _q_media_frames,
+        # kernel-backed operators over the doc/embedding oracle fixture
         "near_dup_minhash": _q_near_dup_minhash,
         "near_dup_simhash": _q_near_dup_simhash,
         "ann_topk_lsh": _q_ann_topk_lsh,
+        "ann_recall": _q_ann_recall,
         "doc_fingerprints": _q_doc_fingerprints,
+        # non-SQL-expressible (rows-only checks)
+        "media_features": _q_media_features,
+        "media_frames": _q_media_frames,
         "citation_clusters": _q_citation_clusters,
     }
 
@@ -701,6 +859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         **_cite_oracles(),
+        **_doc_oracles(),
         "exact_dedup": (
             "SELECT md5(text) AS text_hash, count(*) AS n_docs,"
             " min(doc_id) AS rep_id FROM documents GROUP BY md5(text)"
@@ -795,7 +954,7 @@ def oracle_sql() -> dict[str, str]:
             "WITH g AS (SELECT doc_id, lang, n_chars,"
             "  list_distinct([substring(text, i, 3)"
             "    FOR i IN range(1, length(text) - 1)]) AS grams"
-            " FROM documents),"
+            " FROM documents WHERE doc_id < 20000),"
             " p AS (SELECT g1.doc_id AS a, g2.doc_id AS b,"
             "   g1.grams AS ga, g2.grams AS gb"
             "  FROM g g1 JOIN g g2 ON g1.lang = g2.lang"
@@ -859,7 +1018,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "embedding_near_dup": (
             "WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v"
-            "  FROM embeddings)"
+            "  FROM embeddings WHERE vec_id < 20000)"
             " SELECT a.vec_id AS a, b.vec_id AS b,"
             "  round(list_dot_product(a.v, b.v)"
             "   / (sqrt(list_dot_product(a.v, a.v))"
