@@ -1,0 +1,223 @@
+"""Cross-batch stateful near-duplicate dedup (``applyInPandasWithState``).
+
+The batch pipeline's LSH tier reshaped for Structured Streaming: feature
+rows are exploded on their MinHash band keys and grouped per bucket; each
+bucket's ``GroupState`` carries the (rid, norm_title) members seen so far —
+ACROSS microbatches — so a duplicate landing hours after its twin matches
+against the state store instead of reprocessing history. Each arrival is
+verified against the bucket's members with the exact n-gram Jaccard arm and
+emits an edge ``(rid, match_rid, jaccard)`` on success; downstream, edges
+fold into a persistent (rid, cluster_id) map (``merge_cluster_map``).
+
+Scale shape: state is partitioned BY BUCKET KEY across executors (the state
+store scales horizontally with the shuffle), per-bucket membership is capped
+exactly like the batch star cap (C7) so no bucket's state grows unbounded,
+and only the delta's Arrow batches cross the Python boundary. The emitted
+edge stream is incremental input to the same connected-components operator
+the batch path uses (operators/components.py) when periodic global
+re-clustering is wanted.
+
+The reference engine is strictly batch (SURVEY.md §2.9); this is the
+north_rule streaming extension, not reference parity.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+EDGE_SCHEMA = StructType(
+    [
+        StructField("rid", LongType()),
+        StructField("match_rid", LongType()),
+        StructField("jaccard", DoubleType()),
+    ]
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("rids", ArrayType(LongType())),
+        StructField("texts", ArrayType(StringType())),
+    ]
+)
+
+
+def _grams(t: str, k: int = 3) -> set:
+    if not t:
+        return set()
+    if len(t) < k:
+        return {t}
+    return {t[i : i + k] for i in range(len(t) - k + 1)}
+
+
+def _jaccard(a: set, b: set) -> float:
+    u = len(a | b)
+    return len(a & b) / u if u else 0.0
+
+
+def make_bucket_matcher(threshold: float = 0.8, state_cap: int = 64):
+    """Per-bucket stateful matcher for ``applyInPandasWithState``.
+
+    For each arriving (rid, norm_title) the bucket's stored members are
+    scanned with exact n-gram Jaccard; the best match >= threshold emits one
+    edge. New members append to state up to ``state_cap`` (the batch star
+    cap's streaming analog: a mega-bucket keeps matching new arrivals
+    against its first ``state_cap`` members — every member stays reachable
+    through those anchors — without unbounded state growth).
+    """
+    import pandas as pd
+
+    def update(key, pdf_iter, state):
+        if state.exists:
+            stored_rids, stored_texts = state.get
+            rids = list(stored_rids)
+            texts = list(stored_texts)
+        else:
+            rids, texts = [], []
+        known = set(rids)
+        member_grams = [_grams(t) for t in texts]
+        out_r: list[int] = []
+        out_m: list[int] = []
+        out_j: list[float] = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("rid")
+            for rid, txt in zip(pdf["rid"], pdf["norm_title"]):
+                rid = int(rid)
+                if rid in known:  # replay/duplicate delivery of a member
+                    continue
+                txt = txt if isinstance(txt, str) else ""
+                g = _grams(txt)
+                best_rid, best_j = None, 0.0
+                for mrid, mg in zip(rids, member_grams):
+                    j = _jaccard(g, mg)
+                    if j >= threshold and j > best_j:
+                        best_rid, best_j = mrid, j
+                if best_rid is not None:
+                    out_r.append(rid)
+                    out_m.append(best_rid)
+                    out_j.append(round(best_j, 4))
+                if len(rids) < state_cap:
+                    rids.append(rid)
+                    texts.append(txt)
+                    member_grams.append(g)
+                    known.add(rid)
+        state.update((rids, texts))
+        yield pd.DataFrame({"rid": out_r, "match_rid": out_m, "jaccard": out_j})
+
+    return update
+
+
+def stateful_near_dup_edges(
+    features: DataFrame, threshold: float = 0.8, state_cap: int = 64
+) -> DataFrame:
+    """Streaming feature rows -> cross-batch near-dup edge stream.
+
+    ``features`` must carry rid, norm_title, lsh_keys (the
+    ``stream_features`` output). One edge per (new record, bucket) at most;
+    the same pair surfacing through several bands dedups downstream in
+    ``merge_cluster_map`` (C5's streaming analog).
+    """
+    keyed = features.select(
+        F.explode("lsh_keys").alias("bucket"), "rid", "norm_title"
+    )
+    return keyed.groupBy("bucket").applyInPandasWithState(
+        make_bucket_matcher(threshold, state_cap),
+        outputStructType=EDGE_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
+def merge_cluster_map(edges_pdf, map_path: str) -> None:
+    """Fold one microbatch of edges into the persistent (rid, cluster_id)
+    map: a new rid joins its match's cluster (path-compressed through the
+    stored map). Batch-2 duplicates land in batch-1 clusters without any
+    reprocessing of batch 1.
+
+    Driver-side pandas is deliberate at this granularity — the per-batch
+    edge DELTA is small even when history is huge (the heavy matching
+    already happened in the state store). An installation where the delta
+    itself is big runs the batch ``assign_clusters`` over the accumulated
+    edge parquet instead (same edge schema, same semantics).
+    """
+    import pandas as pd
+
+    if os.path.exists(map_path):
+        cmap = dict(
+            pd.read_parquet(map_path)[["rid", "cluster_id"]].itertuples(
+                index=False, name=None
+            )
+        )
+    else:
+        cmap = {}
+
+    def root(r: int) -> int:
+        seen = []
+        while r in cmap and cmap[r] != r:
+            seen.append(r)
+            r = cmap[r]
+        for s in seen:
+            cmap[s] = r
+        return r
+
+    for rid, match_rid in (
+        edges_pdf[["rid", "match_rid"]]
+        .sort_values(["rid", "match_rid"])
+        .itertuples(index=False, name=None)
+    ):
+        ra, rb = root(int(rid)), root(int(match_rid))
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            cmap[hi] = lo
+        cmap.setdefault(int(rid), root(int(match_rid)))
+
+    out = pd.DataFrame(
+        {"rid": list(cmap.keys()), "cluster_id": [root(r) for r in cmap]}
+    ).sort_values("rid")
+    tmp = f"{map_path}.tmp.{os.getpid()}"
+    out.to_parquet(tmp, index=False)
+    os.replace(tmp, map_path)
+
+
+def run_incremental_dedup(
+    spark,
+    input_dir: str,
+    work_dir: str,
+    threshold: float = 0.8,
+    state_cap: int = 64,
+    max_files_per_trigger: int | None = None,
+):
+    """One availableNow pass: parse + feature the landing-zone delta, match
+    it against the cross-batch state store, fold new edges into the cluster
+    map at ``work_dir``/cluster_map.parquet. Returns the finished query."""
+    from biblib_spark.streaming.ingest import stream_features
+
+    feats = stream_features(spark, input_dir, max_files_per_trigger=max_files_per_trigger)
+    edges = stateful_near_dup_edges(feats, threshold, state_cap)
+    map_path = os.path.join(work_dir, "cluster_map.parquet")
+
+    def sink(batch_df, _batch_id):
+        pdf = batch_df.toPandas()
+        if len(pdf):
+            merge_cluster_map(pdf, map_path)
+
+    q = (
+        edges.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(work_dir, "ckpt_state"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return q
