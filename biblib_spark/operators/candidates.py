@@ -194,17 +194,80 @@ def _group_keyed(tg: DataFrame, cfg) -> DataFrame:
     return keyed
 
 
+def flat_candidate_pairs(feat: DataFrame, cfg) -> DataFrame:
+    """Single-shuffle tier union: every tier key (identity, LSH band, SimHash
+    quarter, affix) is hashed into ONE int64 ``bkey`` column (tier-salted
+    xxhash64) per RECORD, and all tiers share one self-join — one shuffle for
+    bucket sizing, one for the pair dedup, instead of one per tier. Hash
+    collisions across tiers only add candidates; verify keeps precision
+    exact.
+
+    This is the DEFAULT path: the candidate stage's cost at a given core
+    count is dominated by shuffle-stage latency (scheduler + AQE + barrier
+    per stage), not by keyed-row volume — measured at 3M records, the
+    grouped path's 6 extra stages scaled 0.28 from 8->32 cores while this
+    2-shuffle DAG's one big self-join scaled 3.8/4.
+    """
+    tiers: list[DataFrame] = [
+        identity_keyed(
+            feat, IDENTITY_TIERS if cfg.pmid_accession_tiers else IDENTITY_TIERS[:1]
+        )
+    ]
+    if cfg.exact_title_tier:
+        tiers.append(
+            feat.filter(F.col("norm_title") != "").select(
+                "year_key",
+                F.xxhash64(F.lit("title"), F.col("norm_title")).alias("bkey"),
+                "rid",
+            )
+        )
+    tiers.append(
+        feat.select("year_key", F.explode("lsh_keys").alias("k"), "rid").select(
+            "year_key", F.xxhash64(F.lit("lsh"), F.col("k")).alias("bkey"), "rid"
+        )
+    )
+    if cfg.simhash_enabled:
+        tiers.append(
+            feat.select(
+                "year_key", F.explode("simhash_keys").alias("k"), "rid"
+            ).select(
+                "year_key", F.xxhash64(F.lit("sim"), F.col("k")).alias("bkey"), "rid"
+            )
+        )
+    if cfg.prefix_tier:
+        tiers.append(affix_keyed(feat, "prefix", cfg.prefix_len))
+    if cfg.suffix_tier:
+        tiers.append(affix_keyed(feat, "suffix", cfg.prefix_len))
+
+    keyed = tiers[0]
+    for t in tiers[1:]:
+        keyed = keyed.unionByName(t)
+    # no pre-distinct: (bucket, rid) rows are already unique within each tier
+    # and the tier salt keeps them distinct across tiers
+    gen = self_join_pairs_salted if cfg.salted_pairs else self_join_pairs
+    pairs = gen(keyed, ["year_key", "bkey"], cfg.max_bucket)
+    # C5: one verify per unordered pair (same pair can surface in many tiers)
+    return pairs.distinct()
+
+
 def candidate_pairs(feat: DataFrame, cfg) -> DataFrame:
     """All tiers unioned and deduped (C5). ``feat`` must carry
     rid, year_key, doi, norm_title, lsh_keys, simhash_keys.
 
-    Records are first grouped by (year_key, xxhash64(norm_title)) — the
-    "title group". Every record of a group shares IDENTICAL lsh/simhash/affix
-    keys (they are pure functions of norm_title), so the similarity tiers run
-    over one representative per group instead of per record: at web scale
-    most duplicates are exact-normalized-content duplicates, and this
-    collapses both the keyed-union shuffle and the pair-dedup volume by the
-    duplication factor. Tier structure:
+    Dispatches on ``cfg.title_grouping``: False (default) -> the
+    single-shuffle ``flat_candidate_pairs``; True -> the title-group path
+    below, worth its extra stages only when the exact-normalized-duplicate
+    factor is high (its win scales with records-per-distinct-title, its cost
+    is ~6 extra shuffle stages of core-count-independent latency).
+
+    Title-group path: records are first grouped by
+    (year_key, xxhash64(norm_title)). Every record of a group shares
+    IDENTICAL lsh/simhash/affix keys (they are pure functions of
+    norm_title), so the similarity tiers run over one representative per
+    group instead of per record: when most duplicates are
+    exact-normalized-content duplicates this collapses both the keyed-union
+    shuffle and the pair-dedup volume by the duplication factor. Tier
+    structure:
 
     - within-group: all pairs of a title group (star-capped at max_bucket) —
       subsumes the exact-title tier;
@@ -223,6 +286,8 @@ def candidate_pairs(feat: DataFrame, cfg) -> DataFrame:
     ``bkey`` column (tier-salted xxhash64); hash collisions across tiers
     only add candidates.
     """
+    if not getattr(cfg, "title_grouping", False):
+        return flat_candidate_pairs(feat, cfg)
     id_tiers = (
         IDENTITY_TIERS if cfg.pmid_accession_tiers else IDENTITY_TIERS[:1]
     )

@@ -32,9 +32,13 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # coalesce small post-shuffle partitions aggressively — task count,
-        # not partition-size balance, dominates the short stages here
-        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+        # advisory post-shuffle partition size: at 64m AQE coalesces a
+        # ~256 MB pair-dedup shuffle to ~4 reduce tasks — fine on 8 cores,
+        # starves 32 (SPARK_GRAFT_ADVISORY_MB overrides for A/B runs)
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY_MB", "64") + "m",
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # payloads can be multi-KB; 8192 rows/batch keeps per-batch memory
