@@ -322,41 +322,31 @@ def _q_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXPLICITLY capped at doc_id < 20000 (a no-op at the sf0.01 gate scale)
     so the contract entry's plan is bounded-quadratic, never
     quadratic-in-table-size."""
-    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 20000).select(
-        "doc_id",
-        "lang",
-        "n_chars",
-        # guard: sequence() auto-steps DOWNWARD for len < 3 and would emit
-        # junk windows; texts too short for one 3-gram get an empty set,
-        # matching the oracle's empty range()
-        F.expr(
-            "CASE WHEN length(text) >= 3 THEN"
-            " array_distinct(transform(sequence(1, length(text) - 2),"
-            " i -> substring(text, i, 3)))"
-            " ELSE array() END"
-        ).alias("grams"),
+    from biblib_spark.operators.winnow import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir).filter(F.col("doc_id") < 20000), threshold=0.5
     )
-    a = docs.select(
-        F.col("doc_id").alias("a"),
-        F.col("lang").alias("lang"),
-        F.col("n_chars").alias("a_chars"),
-        F.col("grams").alias("a_grams"),
-    )
-    b = docs.select(
-        F.col("doc_id").alias("b"),
-        F.col("lang").alias("b_lang"),
-        F.col("n_chars").alias("b_chars"),
-        F.col("grams").alias("b_grams"),
-    )
-    pairs = a.join(b, (F.col("lang") == F.col("b_lang")) & (F.col("a") < F.col("b")))
-    pairs = pairs.filter(F.abs(F.col("a_chars") - F.col("b_chars")) <= 20)
-    jac = F.size(F.array_intersect("a_grams", "b_grams")) / F.size(
-        F.array_union("a_grams", "b_grams")
-    )
-    return (
-        pairs.withColumn("jac", F.round(jac, 4))
-        .filter(F.col("jac") >= 0.5)
-        .select("a", "b", "jac")
+
+
+def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed word-4-gram fingerprints (MOSS selection; window 5). Pure
+    JVM array pipeline, zero shuffle — the indexable-fraction fingerprint
+    table a 100 TB corpus joins on."""
+    from biblib_spark.operators.winnow import winnow_fingerprints
+
+    return winnow_fingerprints(_docs(spark, sf_dir))
+
+
+def _q_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-level dup CLUSTERS (exact-Jaccard edges -> CC -> sizes): the
+    keep-one-per-cluster operation a training pipeline actually executes.
+    Input capped at doc_id < 20000 (no-op at gate scale) like the pair
+    entry, so the edge plan stays bounded-quadratic."""
+    from biblib_spark.operators.winnow import doc_dup_clusters
+
+    return doc_dup_clusters(
+        _docs(spark, sf_dir).filter(F.col("doc_id") < 20000), threshold=0.5
     )
 
 
@@ -827,6 +817,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": _q_tpch_q5,
         "top_customers": _q_top_customers,
         "ngram_jaccard_dups": _q_ngram_jaccard_dups,
+        "winnow_fingerprints": _q_winnow_fingerprints,
+        "doc_dup_clusters": _q_doc_dup_clusters,
         "embedding_near_dup": _q_embedding_near_dup,
         "events_by_type": _q_events_by_type,
         "parts_revenue": _q_parts_revenue,
@@ -964,6 +956,41 @@ def oracle_sql() -> dict[str, str]:
             "  / len(list_distinct(ga || gb)), 4) AS jac"
             " FROM p WHERE round(len(list_intersect(ga, gb))::DOUBLE"
             "  / len(list_distinct(ga || gb)), 4) >= 0.5"
+        ),
+        "winnow_fingerprints": (
+            "WITH w AS (SELECT doc_id, string_split_regex(text, ' +') AS ws,"
+            "  text FROM documents),"
+            " g AS (SELECT doc_id, CASE WHEN len(ws) >= 4 THEN"
+            "   list_transform(generate_series(1, len(ws)-3),"
+            "    i -> md5(array_to_string(list_slice(ws, i, i+3), ' ')))"
+            "  ELSE [md5(text)] END AS gs FROM w),"
+            " s AS (SELECT doc_id, CASE WHEN len(gs) >= 5 THEN"
+            "   list_distinct(list_transform(generate_series(1, len(gs)-4),"
+            "    p -> list_min(list_slice(gs, p, p+4))))"
+            "  ELSE [list_min(gs)] END AS sel FROM g)"
+            " SELECT doc_id, unnest(sel) AS fp FROM s"
+        ),
+        "doc_dup_clusters": (
+            "WITH RECURSIVE g AS (SELECT doc_id, lang, n_chars,"
+            "  list_distinct([substring(text, i, 3)"
+            "    FOR i IN range(1, length(text) - 1)]) AS grams"
+            " FROM documents WHERE doc_id < 20000),"
+            " p AS (SELECT g1.doc_id AS a, g2.doc_id AS b FROM g g1 JOIN g g2"
+            "  ON g1.lang = g2.lang AND g1.doc_id < g2.doc_id"
+            "  AND abs(g1.n_chars - g2.n_chars) <= 20"
+            "  WHERE round(len(list_intersect(g1.grams, g2.grams))::DOUBLE"
+            "   / len(list_distinct(g1.grams || g2.grams)), 4) >= 0.5),"
+            " edges AS (SELECT a AS src, b AS dst FROM p"
+            "  UNION ALL SELECT b, a FROM p),"
+            " cc(rid, label) AS ("
+            "  SELECT doc_id, doc_id FROM documents WHERE doc_id < 20000"
+            "  UNION"
+            "  SELECT e.src, cc.label FROM edges e JOIN cc ON e.dst = cc.rid),"
+            " lab AS (SELECT rid, min(label) AS cluster_id FROM cc GROUP BY rid),"
+            " sz AS (SELECT cluster_id, count(*) AS cluster_size"
+            "  FROM lab GROUP BY cluster_id)"
+            " SELECT lab.rid AS doc_id, lab.cluster_id, sz.cluster_size"
+            " FROM lab JOIN sz ON lab.cluster_id = sz.cluster_id"
         ),
         "top_customers": (
             "WITH rev AS ("

@@ -2,9 +2,10 @@
 
 Exact dedup, normalized dedup, token/quality stats, n-gram Jaccard near-dup,
 document fingerprinting, language-ID heuristic — all over a generic
-``documents(doc_id, text, ...)`` table. Everything here except the Jaccard
-verify and fingerprint is pure ``pyspark.sql.functions`` (JVM-side,
-whole-stage codegen); the oracle equivalents live in __spark_entry__.py.
+``documents(doc_id, text, ...)`` table. Everything in the pipeline path is
+pure ``pyspark.sql.functions`` (JVM-side, whole-stage codegen) — the only
+Python left is the MinHash band-key pandas UDF (Arrow-batched numpy); the
+oracle equivalents live in __spark_entry__.py.
 """
 
 from __future__ import annotations
@@ -229,7 +230,9 @@ def elect_lang_representative(docs: DataFrame) -> DataFrame:
 
 @pandas_udf(DoubleType())
 def _jaccard_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-    """Exact 3-gram Jaccard over normalized text (verify step)."""
+    """Exact 3-gram Jaccard (scalar Python variant, kept for library users
+    and as the parity reference; the pipeline path uses the JVM
+    ``_gram_set_col`` expression below — same semantics, codegen speed)."""
 
     def sh(t: object) -> set[str]:
         if not isinstance(t, str) or len(t) < 3:
@@ -242,6 +245,19 @@ def _jaccard_udf(a: pd.Series, b: pd.Series) -> pd.Series:
         u = len(sa | sb)
         out.append(len(sa & sb) / u if u else 0.0)
     return pd.Series(out, dtype="float64")
+
+
+def _gram_set_col(nt: str) -> Column:
+    """Distinct char-3-gram array of column ``nt``, entirely JVM-side.
+    Mirrors ``_jaccard_udf``'s shingling: len>=3 -> all 3-gram windows;
+    0 < len < 3 -> the whole string as one gram; empty/null -> empty array."""
+    return F.expr(
+        f"CASE WHEN length({nt}) >= 3 THEN"
+        f" array_distinct(transform(sequence(1, length({nt}) - 2),"
+        f" i -> substring({nt}, i, 3)))"
+        f" WHEN length({nt}) > 0 THEN array({nt})"
+        " ELSE array() END"
+    )
 
 
 def near_dup_pairs_minhash(
@@ -259,17 +275,27 @@ def near_dup_pairs_minhash(
     returns (a, b, jaccard) with a < b (doc ids).
     """
     lsh = make_band_keys_udf(shingle_k, num_perm, bands, seed)
-    feat = docs.select(
-        F.col("doc_id").alias("rid"), norm_text_col(F.col("text")).alias("norm_text")
-    ).withColumn("lsh_keys", lsh("norm_text"))
+    feat = (
+        docs.select(
+            F.col("doc_id").alias("rid"),
+            norm_text_col(F.col("text")).alias("norm_text"),
+        )
+        .withColumn("lsh_keys", lsh("norm_text"))
+        .withColumn("grams", _gram_set_col("norm_text"))
+    )
     keyed = feat.select(F.explode("lsh_keys").alias("lsh_key"), "rid")
     pairs = self_join_pairs(keyed, ["lsh_key"], max_bucket).distinct()
-    fa = feat.select(F.col("rid").alias("a_rid"), F.col("norm_text").alias("a_text"))
-    fb = feat.select(F.col("rid").alias("b_rid"), F.col("norm_text").alias("b_text"))
+    fa = feat.select(F.col("rid").alias("a_rid"), F.col("grams").alias("a_grams"))
+    fb = feat.select(F.col("rid").alias("b_rid"), F.col("grams").alias("b_grams"))
+    # verify is pure codegen: set intersect/union over the precomputed gram
+    # arrays (the Python _jaccard_udf stays only as the parity reference)
+    jac = F.size(F.array_intersect("a_grams", "b_grams")) / F.size(
+        F.array_union("a_grams", "b_grams")
+    )
     j = (
         pairs.join(fa, pairs["a"] == fa["a_rid"])
         .join(fb, pairs["b"] == fb["b_rid"])
-        .withColumn("jaccard", _jaccard_udf("a_text", "b_text"))
+        .withColumn("jaccard", jac)
     )
     return j.filter(F.col("jaccard") >= threshold).select(
         "a", "b", F.round("jaccard", 4).alias("jaccard")
