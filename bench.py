@@ -102,7 +102,11 @@ def main() -> None:
     # efficiency number that follows)
     probe = _cpu_probe() if do_scaling else None
 
-    big_runs = _level_runs(CPUS, procs=max(1, scale_rounds), repeats=3)
+    # big level gets one extra in-process repeat: C2 JIT is still improving
+    # at repeat 3 when each repeat is only ~80-90 s (measured plateau curves
+    # [410,133,90,104,88,81]); the small level's ~3x-longer repeats warm up
+    # within 3
+    big_runs = _level_runs(CPUS, procs=max(1, scale_rounds), repeats=4)
     small_runs: list[dict] = []
     if do_scaling:
         small_runs = _level_runs(small_cores, procs=1, repeats=3)

@@ -35,6 +35,23 @@ def _corpus_path(spark, num_payloads: int, seed: int) -> str:
     return path
 
 
+def _touch_pages(path: str) -> None:
+    """Sequentially read the corpus files once so the first measured run is
+    not a disk cold-read benchmark: /tmp sits on one virtual disk whose
+    bandwidth is core-count-independent, and an evicted page cache showed up
+    as a 4-6x outlier first repeat at both levels. Warmup discipline, same
+    as the JIT prefix — the measured quantity is clustering throughput."""
+    buf = bytearray(1 << 20)
+    for root, _dirs, files in os.walk(path):
+        for fn in files:
+            try:
+                with open(os.path.join(root, fn), "rb", buffering=0) as f:
+                    while f.readinto(buf):
+                        pass
+            except OSError:
+                pass
+
+
 def main() -> None:
     cores = int(sys.argv[1])
     num_payloads = int(sys.argv[2])
@@ -53,7 +70,9 @@ def main() -> None:
     # materialize the input table first — the north_rule pipeline reads an
     # Iceberg/parquet table, so input synthesis is not part of the measured
     # clustering window
-    corpus = spark.read.parquet(_corpus_path(spark, num_payloads, seed))
+    main_path = _corpus_path(spark, num_payloads, seed)
+    _touch_pages(main_path)
+    corpus = spark.read.parquet(main_path)
     warm = spark.read.parquet(_corpus_path(spark, WARMUP_PAYLOADS, seed))
     dedupe_corpus(warm).count()
 
