@@ -195,6 +195,10 @@ def main() -> None:
             ],
             "own_cores_small": [r.get("own_cores_during_runs") for r in small_runs],
             "own_cores_big": [r.get("own_cores_during_runs") for r in big_runs],
+            # hypervisor steal broken out of the external figure: a stolen
+            # core is a noisy neighbor the guest cannot see as a process
+            "steal_cores_small": [r.get("steal_cores_during_runs") for r in small_runs],
+            "steal_cores_big": [r.get("steal_cores_during_runs") for r in big_runs],
             "throughput_small_rps": round(thr_small, 1),
             "throughput_big_rps": round(thr_big, 1),
             "efficiency": eff,

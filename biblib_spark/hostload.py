@@ -8,10 +8,22 @@ wall-clock window. The difference, divided by the window, is the average
 number of cores consumed by everyone else — the quantity a load gate must
 test.
 
-Approximation: subtree CPU is sampled from /proc/<pid>/stat of processes
-alive at sample time; short-lived helpers that die inside the window escape
-the subtree sum and inflate "external" slightly (conservative direction for
-a quiet-window gate).
+Two failure modes are handled explicitly:
+
+- Dead descendants: Spark recycles python UDF workers mid-run. A worker that
+  dies inside the window would vanish from the alive-process sum — worse, its
+  whole lifetime CPU would be SUBTRACTED from the delta. The kernel already
+  solves this: a reaped child's utime+stime (and its own reaped children's)
+  accumulate into the parent's cutime/cstime, so summing utime+stime+cutime+
+  cstime over the alive subtree is churn-proof (cutime counts only DEAD
+  children — no double count with alive ones).
+
+- Hypervisor steal: /proc/stat's steal field is time the HOST ran someone
+  else while this guest wanted the core. It is busy-from-the-guest's-view and
+  belongs in "external contention" (it is exactly a noisy neighbor, one the
+  guest cannot see as a process). It is reported separately too, because a
+  level whose samples are steal-bound needs a different retry story than one
+  racing a local process.
 """
 
 from __future__ import annotations
@@ -21,15 +33,30 @@ import os
 _HZ = os.sysconf("SC_CLK_TCK")
 
 
-def machine_busy_seconds() -> float:
-    """Cumulative busy (non-idle, non-iowait) CPU seconds across all cores."""
+def _stat_fields() -> list[int]:
     with open("/proc/stat") as f:
-        v = list(map(int, f.readline().split()[1:]))
+        return list(map(int, f.readline().split()[1:]))
+
+
+def machine_busy_seconds() -> float:
+    """Cumulative busy (non-idle, non-iowait) CPU seconds across all cores.
+
+    Includes steal: a stolen tick is a core this guest did not get — busy
+    from the measuring job's point of view.
+    """
+    v = _stat_fields()
     return (sum(v) - v[3] - v[4]) / _HZ
 
 
+def steal_seconds() -> float:
+    """Cumulative hypervisor-steal seconds across all cores."""
+    v = _stat_fields()
+    return (v[7] if len(v) > 7 else 0) / _HZ
+
+
 def tree_cpu_seconds(root_pid: int | None = None) -> float:
-    """Cumulative utime+stime seconds of root_pid and all its descendants."""
+    """Cumulative CPU seconds of root_pid, its descendants, AND their reaped
+    dead children (utime+stime+cutime+cstime — see module docstring)."""
     root = root_pid if root_pid is not None else os.getpid()
     procs: dict[int, tuple[int, int]] = {}
     for d in os.listdir("/proc"):
@@ -39,7 +66,11 @@ def tree_cpu_seconds(root_pid: int | None = None) -> float:
             with open(f"/proc/{d}/stat") as f:
                 rest = f.read().rsplit(")", 1)[1].split()
             # after "pid (comm)": [0]=state [1]=ppid ... [11]=utime [12]=stime
-            procs[int(d)] = (int(rest[1]), int(rest[11]) + int(rest[12]))
+            # [13]=cutime [14]=cstime (reaped children, recursive)
+            procs[int(d)] = (
+                int(rest[1]),
+                int(rest[11]) + int(rest[12]) + int(rest[13]) + int(rest[14]),
+            )
         except (OSError, IndexError, ValueError):
             continue
     total = 0
@@ -54,13 +85,20 @@ def tree_cpu_seconds(root_pid: int | None = None) -> float:
 
 
 class ExternalLoadMeter:
-    """Average external cores busy over start()..stop() windows."""
+    """Average external cores busy over start()..stop() windows.
+
+    After ``stop()``, ``last_steal_cores`` carries the hypervisor-steal
+    component of the external figure for the same window.
+    """
+
+    last_steal_cores: float = 0.0
 
     def start(self) -> None:
         import time
 
         self._t0 = time.time()
         self._busy0 = machine_busy_seconds()
+        self._steal0 = steal_seconds()
         self._tree0 = tree_cpu_seconds()
 
     def stop(self) -> float:
@@ -68,5 +106,7 @@ class ExternalLoadMeter:
 
         wall = max(time.time() - self._t0, 1e-6)
         busy = machine_busy_seconds() - self._busy0
+        steal = steal_seconds() - self._steal0
         tree = tree_cpu_seconds() - self._tree0
+        self.last_steal_cores = max(steal / wall, 0.0)
         return max((busy - tree) / wall, 0.0)
