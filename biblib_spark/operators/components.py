@@ -12,6 +12,13 @@ non-increasing and bounded, so the global sum of labels is a convergence
 certificate: one cheap agg per round, no change-count join. Rounds ~ cluster
 diameter; duplicate clusters are star/clique shaped (diameter <= ~3).
 ``localCheckpoint`` per round truncates lineage (SURVEY.md §4).
+
+Job-count discipline (the loop's cost at scale is scheduling + checkpoint
+latency, not compute): round 1 is FREE — folded into the label-init
+aggregation (label0(v) = min(v, min neighbor) instead of distinct-vertices),
+and convergence is checked after every round, so a diameter-2 component
+(every star, most cliques) finishes with init + one confirm round where the
+round-1 code paid a distinct + four propagation rounds + two certificates.
 """
 
 from __future__ import annotations
@@ -30,12 +37,23 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     ).unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
     sym = sym.localCheckpoint(eager=True)
 
+    def _cert(lbl):
+        # decimal(38,0) sum: rids reach ~2^63 at 10^12-record scale, where a
+        # LongType sum would wrap silently (non-ANSI) and could fake a fixpoint
+        return lbl.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).collect()[0][0]
+
+    # label init IS propagation round 1: every vertex appears as src (both
+    # edge directions are present), so min(self, min neighbor) needs only the
+    # one aggregation shuffle the vertex-distinct would have cost anyway
     labels = (
-        sym.select(F.col("src").alias("rid"))
-        .distinct()
-        .withColumn("label", F.col("rid"))
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("_mn"))
+        .select(F.col("src").alias("rid"), F.least("src", "_mn").alias("label"))
         .localCheckpoint(eager=True)
     )
+    prev_sum = _cert(labels)
 
     def one_round(lbl):
         # each vertex receives its neighbors' current labels
@@ -49,19 +67,10 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
             .agg(F.min("label").alias("label"))
         )
 
-    # two propagation rounds per materialization: duplicate clusters are
-    # star/clique shaped (diameter <= ~3), so most runs finish in two blocks;
-    # batching halves the number of Spark jobs (the loop's cost at scale is
-    # job scheduling + checkpoint I/O, not compute)
-    prev_sum = None
-    for _ in range(max_iter // 2 + 1):
-        labels = one_round(one_round(labels)).localCheckpoint(eager=True)
-        # decimal(38,0) sum: rids reach ~2^63 at 10^12-record scale, where a
-        # LongType sum would wrap silently (non-ANSI) and could fake a fixpoint
-        cur_sum = labels.agg(
-            F.sum(F.col("label").cast("decimal(38,0)"))
-        ).collect()[0][0]
-        if prev_sum is not None and cur_sum == prev_sum:
+    for _ in range(max_iter):
+        labels = one_round(labels).localCheckpoint(eager=True)
+        cur_sum = _cert(labels)
+        if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
 

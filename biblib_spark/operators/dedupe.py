@@ -364,12 +364,28 @@ def dedupe_corpus(
     corpus: DataFrame,
     cfg: DedupConfig | None = None,
     source_col: str | None = None,
+    materialize: str = "parquet",
 ) -> DataFrame:
-    """Corpus table -> clusters via the fused fast path."""
+    """Corpus table -> clusters via the fused fast path.
+
+    ``materialize`` picks how the feature table (which fans out nine ways —
+    six candidate tiers, two verify sides, the election join) is pinned:
+
+    - ``"parquet"`` (default): columnar spill on the shuffle-local dir
+      (plans/spill.py) — each consumer prunes to the columns it reads
+      (the tiers read 8 of 16, the election join 4), where a checkpoint
+      hands every branch every column;
+    - ``"checkpoint"``: ``localCheckpoint`` block-manager materialization
+      (no temp files — used by tests that run many tiny pipelines).
+    """
     cfg = cfg or DedupConfig()
-    feat = features_from_corpus(corpus, cfg, source_col=source_col).localCheckpoint(
-        eager=True
-    )
+    feat = features_from_corpus(corpus, cfg, source_col=source_col)
+    if materialize == "parquet":
+        from biblib_spark.plans.spill import spill_to_parquet
+
+        feat, _ = spill_to_parquet(feat, "dedup-features")
+    else:
+        feat = feat.localCheckpoint(eager=True)
     return dedupe_features(feat, cfg)
 
 

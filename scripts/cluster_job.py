@@ -82,6 +82,7 @@ def main() -> None:
     runs = []
     loads = []
     ext_loads = []
+    steals = []
     utils = []
     n = 0
     for _ in range(repeats):
@@ -93,12 +94,18 @@ def main() -> None:
         el = time.time() - t0
         runs.append(round(el, 3))
         # external contention during THIS run: machine busy cores minus this
-        # process tree's own cores (loadavg can't tell the two apart)
+        # process tree's own cores (loadavg can't tell the two apart); the
+        # hypervisor-steal share is broken out alongside
         ext_loads.append(round(meter.stop(), 2))
+        steals.append(round(meter.last_steal_cores, 2))
         utils.append(round((tree_cpu_seconds() - cpu0) / el, 1))
         loads.append(round(os.getloadavg()[0], 1))
-        # each run localCheckpoints its features; drop them between repeats
-        # or the accumulated blocks GC-thrash later runs
+        # each run materializes its features (parquet spill) and CC labels
+        # (checkpoint blocks); drop both between repeats or the accumulation
+        # GC-thrashes / fills tmpfs across repeats
+        from biblib_spark.plans.spill import cleanup_all
+
+        cleanup_all()
         for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
             rdd.unpersist()
     spark.stop()
@@ -113,6 +120,7 @@ def main() -> None:
                 "loadavg_after_runs": loads,
                 "external_cores_during_runs": ext_loads,
                 "external_cores_best_run": ext_loads[best],
+                "steal_cores_during_runs": steals,
                 "own_cores_during_runs": utils,
             }
         )
