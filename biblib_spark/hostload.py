@@ -24,6 +24,19 @@ Two failure modes are handled explicitly:
   guest cannot see as a process). It is reported separately too, because a
   level whose samples are steal-bound needs a different retry story than one
   racing a local process.
+
+- Orphan-reaped workers: pyspark worker processes can outlive their daemon
+  (double-fork / daemon restart), get REPARENTED TO PID 1, and die there —
+  their whole lifetime CPU lands in init's cutime/cstime, invisible to the
+  subtree walk. Measured on this sandbox: during one 4M-payload run ~17
+  cores of the job's own worker CPU were misattributed as "external" this
+  way (own_cores even went negative). Fix: the delta of PID 1's reaped-child
+  time inside the window is counted as OWN. Asymmetry: an unrelated process
+  dying inside the window is then also credited to the job, UNDER-reading
+  external — so the meter additionally reports ``outside_pinned_cores``,
+  busy time on cores outside the job's taskset range, which no accounting
+  confusion can touch: with the job pinned to cores [0, N), any busy core
+  >= N is a real neighbor (for N = all cores the signal is empty).
 """
 
 from __future__ import annotations
@@ -52,6 +65,31 @@ def steal_seconds() -> float:
     """Cumulative hypervisor-steal seconds across all cores."""
     v = _stat_fields()
     return (v[7] if len(v) > 7 else 0) / _HZ
+
+
+def init_reaped_seconds() -> float:
+    """Cumulative CPU seconds PID 1 has reaped from dead (orphaned) children.
+
+    On this sandbox pyspark workers die reparented to init; their lifetime
+    CPU is visible nowhere else (see module docstring)."""
+    try:
+        with open("/proc/1/stat") as f:
+            rest = f.read().rsplit(")", 1)[1].split()
+        return (int(rest[13]) + int(rest[14])) / _HZ
+    except (OSError, IndexError, ValueError):
+        return 0.0
+
+
+def percpu_busy_seconds() -> dict[int, float]:
+    """Per-core cumulative busy (non-idle, non-iowait) seconds."""
+    out: dict[int, float] = {}
+    with open("/proc/stat") as f:
+        for line in f:
+            if line.startswith("cpu") and line[3:4].isdigit():
+                parts = line.split()
+                v = list(map(int, parts[1:]))
+                out[int(parts[0][3:])] = (sum(v) - v[3] - v[4]) / _HZ
+    return out
 
 
 def tree_cpu_seconds(root_pid: int | None = None) -> float:
@@ -87,11 +125,19 @@ def tree_cpu_seconds(root_pid: int | None = None) -> float:
 class ExternalLoadMeter:
     """Average external cores busy over start()..stop() windows.
 
+    ``pinned_cores``: size N of the job's taskset range [0, N); when N is
+    below the machine's core count, ``last_outside_pinned_cores`` reports
+    busy cores outside that range — the churn-proof neighbor signal.
     After ``stop()``, ``last_steal_cores`` carries the hypervisor-steal
     component of the external figure for the same window.
     """
 
     last_steal_cores: float = 0.0
+    last_outside_pinned_cores: float = 0.0
+    last_own_cores: float = 0.0
+
+    def __init__(self, pinned_cores: int | None = None) -> None:
+        self._pinned = pinned_cores
 
     def start(self) -> None:
         import time
@@ -100,6 +146,8 @@ class ExternalLoadMeter:
         self._busy0 = machine_busy_seconds()
         self._steal0 = steal_seconds()
         self._tree0 = tree_cpu_seconds()
+        self._init0 = init_reaped_seconds()
+        self._percpu0 = percpu_busy_seconds() if self._pinned else None
 
     def stop(self) -> float:
         import time
@@ -107,6 +155,19 @@ class ExternalLoadMeter:
         wall = max(time.time() - self._t0, 1e-6)
         busy = machine_busy_seconds() - self._busy0
         steal = steal_seconds() - self._steal0
-        tree = tree_cpu_seconds() - self._tree0
+        # own = alive subtree + workers that died orphaned into init's
+        # cutime/cstime inside the window (see module docstring)
+        own = (tree_cpu_seconds() - self._tree0) + (
+            init_reaped_seconds() - self._init0
+        )
         self.last_steal_cores = max(steal / wall, 0.0)
-        return max((busy - tree) / wall, 0.0)
+        self.last_own_cores = own / wall
+        if self._percpu0 is not None:
+            now = percpu_busy_seconds()
+            outside = sum(
+                now[c] - self._percpu0[c]
+                for c in now
+                if c >= self._pinned and c in self._percpu0
+            )
+            self.last_outside_pinned_cores = max(outside / wall, 0.0)
+        return max((busy - own) / wall, 0.0)

@@ -194,13 +194,84 @@ def _group_keyed(tg: DataFrame, cfg) -> DataFrame:
     return keyed
 
 
+def flat_candidate_keys(feat: DataFrame, cfg) -> DataFrame:
+    """ONE-SCAN tier-key generation: every tier's keys (identity, LSH band,
+    SimHash quarter, affix) are built as conditional arrays in a single
+    projection, concatenated, and exploded once — (year_key, bkey, rid) rows
+    identical (as a multiset) to unioning one branch per tier, established by
+    tests/test_dedupe_spark.py's keyed-identity test.
+
+    Why not a union of per-tier branches: each branch is a SEPARATE scan of
+    the (spilled) feature table — with fine input splits that is thousands of
+    extra map tasks whose scheduling/dispatch cost is core-count-independent
+    (pure fixed cost under the scaling gate), plus 6x decode of the shared
+    rid/year_key columns. One scan + one explode keeps the whole key build
+    inside one whole-stage-codegen pass.
+    """
+    empty = F.array().cast("array<bigint>")
+
+    def opt(cond, key):
+        return F.coalesce(F.when(cond, F.array(key)), empty)
+
+    def ident(salt: str, col: str):
+        c = F.col(col)
+        return opt(c.isNotNull() & (c != ""), F.xxhash64(F.lit(salt), c))
+
+    id_tiers = IDENTITY_TIERS if cfg.pmid_accession_tiers else IDENTITY_TIERS[:1]
+    parts = [ident(salt, col) for salt, col in id_tiers]
+    if cfg.exact_title_tier:
+        parts.append(
+            opt(
+                F.col("norm_title") != "",
+                F.xxhash64(F.lit("title"), F.col("norm_title")),
+            )
+        )
+    # coalesce: F.concat is NULL-absorbing — one NULL key array (a record
+    # that skipped feature extraction) must not erase the record's other tiers
+    parts.append(
+        F.coalesce(
+            F.transform("lsh_keys", lambda k: F.xxhash64(F.lit("lsh"), k)), empty
+        )
+    )
+    if cfg.simhash_enabled:
+        parts.append(
+            F.coalesce(
+                F.transform("simhash_keys", lambda k: F.xxhash64(F.lit("sim"), k)),
+                empty,
+            )
+        )
+    long_enough = F.length("norm_title") >= cfg.prefix_len
+    if cfg.prefix_tier:
+        parts.append(
+            opt(
+                long_enough,
+                F.xxhash64(
+                    F.lit("prefix"), F.substring("norm_title", 1, cfg.prefix_len)
+                ),
+            )
+        )
+    if cfg.suffix_tier:
+        parts.append(
+            opt(
+                long_enough,
+                F.xxhash64(
+                    F.lit("suffix"),
+                    F.substring("norm_title", -cfg.prefix_len, cfg.prefix_len),
+                ),
+            )
+        )
+    return feat.select(
+        "year_key", F.explode(F.concat(*parts)).alias("bkey"), "rid"
+    )
+
+
 def flat_candidate_pairs(feat: DataFrame, cfg) -> DataFrame:
-    """Single-shuffle tier union: every tier key (identity, LSH band, SimHash
-    quarter, affix) is hashed into ONE int64 ``bkey`` column (tier-salted
-    xxhash64) per RECORD, and all tiers share one self-join — one shuffle for
-    bucket sizing, one for the pair dedup, instead of one per tier. Hash
-    collisions across tiers only add candidates; verify keeps precision
-    exact.
+    """Single-shuffle tier union: every tier key is hashed into ONE int64
+    ``bkey`` column (tier-salted xxhash64) per RECORD in a single scan
+    (``flat_candidate_keys``), and all tiers share one self-join — one
+    shuffle for bucket sizing, one for the pair dedup, instead of one per
+    tier. Hash collisions across tiers only add candidates; verify keeps
+    precision exact.
 
     This is the DEFAULT path: the candidate stage's cost at a given core
     count is dominated by shuffle-stage latency (scheduler + AQE + barrier
@@ -208,40 +279,7 @@ def flat_candidate_pairs(feat: DataFrame, cfg) -> DataFrame:
     grouped path's 6 extra stages scaled 0.28 from 8->32 cores while this
     2-shuffle DAG's one big self-join scaled 3.8/4.
     """
-    tiers: list[DataFrame] = [
-        identity_keyed(
-            feat, IDENTITY_TIERS if cfg.pmid_accession_tiers else IDENTITY_TIERS[:1]
-        )
-    ]
-    if cfg.exact_title_tier:
-        tiers.append(
-            feat.filter(F.col("norm_title") != "").select(
-                "year_key",
-                F.xxhash64(F.lit("title"), F.col("norm_title")).alias("bkey"),
-                "rid",
-            )
-        )
-    tiers.append(
-        feat.select("year_key", F.explode("lsh_keys").alias("k"), "rid").select(
-            "year_key", F.xxhash64(F.lit("lsh"), F.col("k")).alias("bkey"), "rid"
-        )
-    )
-    if cfg.simhash_enabled:
-        tiers.append(
-            feat.select(
-                "year_key", F.explode("simhash_keys").alias("k"), "rid"
-            ).select(
-                "year_key", F.xxhash64(F.lit("sim"), F.col("k")).alias("bkey"), "rid"
-            )
-        )
-    if cfg.prefix_tier:
-        tiers.append(affix_keyed(feat, "prefix", cfg.prefix_len))
-    if cfg.suffix_tier:
-        tiers.append(affix_keyed(feat, "suffix", cfg.prefix_len))
-
-    keyed = tiers[0]
-    for t in tiers[1:]:
-        keyed = keyed.unionByName(t)
+    keyed = flat_candidate_keys(feat, cfg)
     # no pre-distinct: (bucket, rid) rows are already unique within each tier
     # and the tier salt keeps them distinct across tiers
     gen = self_join_pairs_salted if cfg.salted_pairs else self_join_pairs

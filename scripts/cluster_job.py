@@ -76,29 +76,31 @@ def main() -> None:
     warm = spark.read.parquet(_corpus_path(spark, WARMUP_PAYLOADS, seed))
     dedupe_corpus(warm).count()
 
-    from biblib_spark.hostload import ExternalLoadMeter, tree_cpu_seconds
+    from biblib_spark.hostload import ExternalLoadMeter
 
-    meter = ExternalLoadMeter()
+    meter = ExternalLoadMeter(pinned_cores=cores if cores < os.cpu_count() else None)
     runs = []
     loads = []
     ext_loads = []
     steals = []
+    outside = []
     utils = []
     n = 0
     for _ in range(repeats):
         meter.start()
-        cpu0 = tree_cpu_seconds()
         t0 = time.time()
         clusters = dedupe_corpus(corpus)
         n = clusters.count()
         el = time.time() - t0
         runs.append(round(el, 3))
         # external contention during THIS run: machine busy cores minus this
-        # process tree's own cores (loadavg can't tell the two apart); the
-        # hypervisor-steal share is broken out alongside
+        # job's own cores — alive subtree PLUS workers that died orphaned
+        # into init (loadavg can't tell any of this apart); hypervisor steal
+        # and the churn-proof outside-pinned-range busy broken out alongside
         ext_loads.append(round(meter.stop(), 2))
         steals.append(round(meter.last_steal_cores, 2))
-        utils.append(round((tree_cpu_seconds() - cpu0) / el, 1))
+        outside.append(round(meter.last_outside_pinned_cores, 2))
+        utils.append(round(meter.last_own_cores, 1))
         loads.append(round(os.getloadavg()[0], 1))
         # each run materializes its features (parquet spill) and CC labels
         # (checkpoint blocks); drop both between repeats or the accumulation
@@ -121,6 +123,7 @@ def main() -> None:
                 "external_cores_during_runs": ext_loads,
                 "external_cores_best_run": ext_loads[best],
                 "steal_cores_during_runs": steals,
+                "outside_pinned_cores_during_runs": outside,
                 "own_cores_during_runs": utils,
             }
         )

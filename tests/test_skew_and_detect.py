@@ -221,3 +221,76 @@ def test_prefix_tier_catches_truncation_pairs(spark):
     with_prefix = dedupe_records(df, DedupConfig(prefix_tier=True)).collect()
     clusters = {r.cluster_id for r in with_prefix}
     assert len(clusters) == 1, "prefix tier should surface the truncation pair"
+
+
+def test_flat_candidate_keys_single_scan_identical(spark):
+    """The one-scan concatenated-array key build must produce EXACTLY the
+    (year_key, bkey, rid) multiset of the per-tier union-of-branches form —
+    including NULL/empty identity fields, short titles (no affix keys),
+    empty and NULL key arrays."""
+    from collections import Counter
+
+    from pyspark.sql import types as T
+
+    from biblib_spark.operators.candidates import (
+        IDENTITY_TIERS,
+        affix_keyed,
+        flat_candidate_keys,
+        identity_keyed,
+    )
+    from biblib_spark.operators.dedupe import DedupConfig
+
+    schema = T.StructType(
+        [
+            T.StructField("rid", T.LongType()),
+            T.StructField("year_key", T.IntegerType()),
+            T.StructField("doi", T.StringType()),
+            T.StructField("pmid", T.StringType()),
+            T.StructField("accession_number", T.StringType()),
+            T.StructField("norm_title", T.StringType()),
+            T.StructField("lsh_keys", T.ArrayType(T.LongType())),
+            T.StructField("simhash_keys", T.ArrayType(T.LongType())),
+        ]
+    )
+    long_t = "assessment of long surgical outcomes in elderly cohorts"
+    rows = [
+        (1, 2010, "10.1/x", None, None, long_t, [11, 12, 11], [5]),
+        (2, 2010, "", "339", "ACC1", "short title", [13], []),
+        (3, 0, None, None, None, "", [], [7, 8]),
+        (4, 2011, "10.1/x", "339", None, long_t + " extra", None, None),
+        (5, 2010, None, None, "ACC1", "x" * 24, [11], [5, 5]),
+    ]
+    feat = spark.createDataFrame(rows, schema)
+    cfg = DedupConfig()
+
+    # reference form: one branch per tier, unioned
+    tiers = [
+        identity_keyed(
+            feat, IDENTITY_TIERS if cfg.pmid_accession_tiers else IDENTITY_TIERS[:1]
+        ),
+        feat.select("year_key", F.explode("lsh_keys").alias("k"), "rid").select(
+            "year_key", F.xxhash64(F.lit("lsh"), F.col("k")).alias("bkey"), "rid"
+        ),
+        feat.select("year_key", F.explode("simhash_keys").alias("k"), "rid").select(
+            "year_key", F.xxhash64(F.lit("sim"), F.col("k")).alias("bkey"), "rid"
+        ),
+        affix_keyed(feat, "prefix", cfg.prefix_len),
+        affix_keyed(feat, "suffix", cfg.prefix_len),
+    ]
+    union = tiers[0]
+    for t in tiers[1:]:
+        union = union.unionByName(t)
+
+    expected = Counter(
+        (r.year_key, r.bkey, r.rid) for r in union.collect()
+    )
+    got = Counter(
+        (r.year_key, r.bkey, r.rid)
+        for r in flat_candidate_keys(feat, cfg).collect()
+    )
+    assert got == expected
+    # rid 4's NULL arrays must not erase its identity/affix keys
+    assert any(k[2] == 4 for k in got)
+    # duplicate band keys keep their multiplicity (rid 1 has [11, 12, 11])
+    lsh_multi = [c for k, c in got.items() if k[2] == 1 and c > 1]
+    assert lsh_multi, "duplicate lsh key should appear twice"
