@@ -10,13 +10,20 @@ test.
 
 Two failure modes are handled explicitly:
 
-- Dead descendants: Spark recycles python UDF workers mid-run. A worker that
-  dies inside the window would vanish from the alive-process sum — worse, its
-  whole lifetime CPU would be SUBTRACTED from the delta. The kernel already
-  solves this: a reaped child's utime+stime (and its own reaped children's)
-  accumulate into the parent's cutime/cstime, so summing utime+stime+cutime+
-  cstime over the alive subtree is churn-proof (cutime counts only DEAD
-  children — no double count with alive ones).
+- Dead descendants: Spark recycles python UDF workers mid-run, and
+  ``pyspark/daemon.py`` sets ``SIGCHLD`` to ``SIG_IGN`` — so dead workers
+  are auto-reaped by the kernel and POSIX **discards** their CPU times
+  (they never accumulate into the daemon's cutime/cstime). A two-snapshot
+  delta of the alive subtree therefore loses the entire lifetime CPU of
+  every worker that dies inside the window (observed live: six workers x
+  ~250 s died in one 5 s span; own_cores read -1479 for that sample and
+  ~17 "external" cores for the full-run window). The meter instead POLLS
+  the subtree every ``POLL_S`` seconds and accumulates per-PID
+  utime+stime increments while processes are alive: a dying worker loses
+  at most one poll interval of one core. cutime/cstime are deliberately
+  EXCLUDED from the polled sum — a properly-``wait()``ed child would
+  otherwise be counted twice (polled alive, then again via the parent's
+  cutime at death).
 
 - Hypervisor steal: /proc/stat's steal field is time the HOST ran someone
   else while this guest wanted the core. It is busy-from-the-guest's-view and
@@ -92,9 +99,13 @@ def percpu_busy_seconds() -> dict[int, float]:
     return out
 
 
-def tree_cpu_seconds(root_pid: int | None = None) -> float:
-    """Cumulative CPU seconds of root_pid, its descendants, AND their reaped
-    dead children (utime+stime+cutime+cstime — see module docstring)."""
+def subtree_own_ticks(root_pid: int | None = None) -> dict[int, int]:
+    """Per-PID utime+stime ticks for root_pid and its alive descendants.
+
+    cutime/cstime deliberately excluded — the polling accumulator in
+    ``ExternalLoadMeter`` counts children while they are alive; adding
+    reaped-child times on top would double-count properly-waited children
+    (see module docstring)."""
     root = root_pid if root_pid is not None else os.getpid()
     procs: dict[int, tuple[int, int]] = {}
     for d in os.listdir("/proc"):
@@ -104,26 +115,34 @@ def tree_cpu_seconds(root_pid: int | None = None) -> float:
             with open(f"/proc/{d}/stat") as f:
                 rest = f.read().rsplit(")", 1)[1].split()
             # after "pid (comm)": [0]=state [1]=ppid ... [11]=utime [12]=stime
-            # [13]=cutime [14]=cstime (reaped children, recursive)
-            procs[int(d)] = (
-                int(rest[1]),
-                int(rest[11]) + int(rest[12]) + int(rest[13]) + int(rest[14]),
-            )
+            procs[int(d)] = (int(rest[1]), int(rest[11]) + int(rest[12]))
         except (OSError, IndexError, ValueError):
             continue
-    total = 0
+    out: dict[int, int] = {}
     for pid, (_, cpu) in procs.items():
         p = pid
         while p > 1:
             if p == root:
-                total += cpu
+                out[pid] = cpu
                 break
             p = procs.get(p, (0, 0))[0]
-    return total / _HZ
+    return out
+
+
+def tree_cpu_seconds(root_pid: int | None = None) -> float:
+    """Cumulative utime+stime seconds of root_pid and alive descendants."""
+    return sum(subtree_own_ticks(root_pid).values()) / _HZ
 
 
 class ExternalLoadMeter:
     """Average external cores busy over start()..stop() windows.
+
+    A background thread polls the process subtree every ``POLL_S`` seconds,
+    accumulating per-PID utime+stime increments — churn-proof against
+    pyspark's SIG_IGN worker reaping (see module docstring). PIDs first
+    seen mid-window are credited their full CPU at first sight (they were
+    forked after the window opened); PIDs present at ``start()`` are
+    baselined so pre-window CPU is not counted.
 
     ``pinned_cores``: size N of the job's taskset range [0, N); when N is
     below the machine's core count, ``last_outside_pinned_cores`` reports
@@ -132,34 +151,65 @@ class ExternalLoadMeter:
     component of the external figure for the same window.
     """
 
+    POLL_S = 2.0
+
     last_steal_cores: float = 0.0
     last_outside_pinned_cores: float = 0.0
     last_own_cores: float = 0.0
 
-    def __init__(self, pinned_cores: int | None = None) -> None:
+    def __init__(
+        self, pinned_cores: int | None = None, poll_s: float | None = None
+    ) -> None:
         self._pinned = pinned_cores
+        self._root = os.getpid()
+        if poll_s is not None:
+            self.POLL_S = poll_s
+
+    def _poll_once(self) -> None:
+        now = subtree_own_ticks(self._root)
+        for pid, ticks in now.items():
+            prev = self._seen.get(pid)
+            if prev is None:
+                # forked after the window opened: whole life is in-window
+                self._acc += ticks
+            elif ticks > prev:
+                self._acc += ticks - prev
+            # ticks < prev would mean PID reuse; treat as no increment
+        self._seen = dict(now)
+
+    def _poll_loop(self) -> None:
+        while not self._stop_evt.wait(self.POLL_S):
+            self._poll_once()
 
     def start(self) -> None:
+        import threading
         import time
 
         self._t0 = time.time()
         self._busy0 = machine_busy_seconds()
         self._steal0 = steal_seconds()
-        self._tree0 = tree_cpu_seconds()
         self._init0 = init_reaped_seconds()
         self._percpu0 = percpu_busy_seconds() if self._pinned else None
+        # baseline: CPU burned before the window is not this window's own
+        self._seen = subtree_own_ticks(self._root)
+        self._acc = 0
+        self._stop_evt = threading.Event()
+        self._thread = threading.Thread(target=self._poll_loop, daemon=True)
+        self._thread.start()
 
     def stop(self) -> float:
         import time
 
+        self._stop_evt.set()
+        self._thread.join(timeout=self.POLL_S + 1)
+        self._poll_once()
         wall = max(time.time() - self._t0, 1e-6)
         busy = machine_busy_seconds() - self._busy0
         steal = steal_seconds() - self._steal0
-        # own = alive subtree + workers that died orphaned into init's
-        # cutime/cstime inside the window (see module docstring)
-        own = (tree_cpu_seconds() - self._tree0) + (
-            init_reaped_seconds() - self._init0
-        )
+        # own = polled subtree increments + workers that died orphaned into
+        # init's cutime/cstime inside the window (disjoint: an orphan's ppid
+        # chain breaks at 1, so polls never counted it)
+        own = self._acc / _HZ + (init_reaped_seconds() - self._init0)
         self.last_steal_cores = max(steal / wall, 0.0)
         self.last_own_cores = own / wall
         if self._percpu0 is not None:

@@ -1,9 +1,15 @@
 """External-contention meter: churn-proof CPU attribution (no Spark).
 
-The bench protocol's quiet-window gate lives or dies on this attribution:
-pyspark workers die reparented to PID 1, so a naive subtree walk loses their
-CPU and reports the job's own work as "external contention" (observed: ~17
-phantom external cores and negative own-cores during a 4M-payload run).
+The bench protocol's quiet-window gate lives or dies on this attribution.
+Two distinct churn holes, both observed live on 4M-payload runs:
+
+- pyspark workers dying reparented to PID 1 — their CPU is reaped into
+  init's cutime, invisible to a subtree walk (fix: init-reap delta).
+- ``pyspark/daemon.py`` sets SIGCHLD to SIG_IGN, so workers that die under
+  the daemon are auto-reaped and POSIX DISCARDS their CPU times entirely —
+  no cutime anywhere (observed: six ~250 s workers died in one 5 s span;
+  a two-snapshot meter read ~17 phantom external cores and negative own).
+  Fix: poll per-PID utime+stime increments while workers are alive.
 """
 
 from __future__ import annotations
@@ -20,6 +26,14 @@ from biblib_spark.hostload import (
     percpu_busy_seconds,
     tree_cpu_seconds,
 )
+
+def _box_quiet() -> bool:
+    """True when nobody else is burning CPU on this box right now."""
+    m = ExternalLoadMeter(poll_s=0.1)
+    m.start()
+    time.sleep(0.5)
+    return m.stop() < 1.0
+
 
 # burn ~0.6s of CPU in a grandchild whose parent exits immediately: the
 # grandchild is reparented to PID 1 and its CPU is reaped there, exactly like
@@ -40,7 +54,7 @@ time.sleep(1.2)  # stay alive until the orphan finishes and init reaps it
 
 
 def test_meter_counts_orphan_reaped_cpu_as_own():
-    m = ExternalLoadMeter()
+    m = ExternalLoadMeter(poll_s=0.05)
     init0 = init_reaped_seconds()
     m.start()
     subprocess.run([sys.executable, "-c", _ORPHAN_BURNER], check=True)
@@ -50,22 +64,47 @@ def test_meter_counts_orphan_reaped_cpu_as_own():
             break
         time.sleep(0.2)
     ext = m.stop()
-    # the orphan's ~0.6s CPU must NOT appear as external contention (test
-    # boxes can have real neighbors; allow a modest floor well below 0.6/1.2)
+    # the orphan's ~0.6s CPU must land in OWN attribution
     assert m.last_own_cores > 0.2
-    assert ext < m.last_own_cores + 0.35
+    # ...and not in external — only checkable when the box is quiet (a real
+    # neighbor, e.g. a concurrent bench campaign, dominates ext legitimately)
+    if _box_quiet():
+        assert ext < m.last_own_cores + 0.35
 
 
 def test_tree_cpu_counts_alive_subtree():
     t0 = tree_cpu_seconds()
-    # burn CPU in a normally-reaped child (subprocess.run waits -> our cutime)
-    subprocess.run(
-        [sys.executable, "-c",
-         "import time\nt=time.process_time()\n"
-         "while time.process_time()-t<0.4: sum(i*i for i in range(10000))"],
-        check=True,
-    )
+    # burn CPU in THIS process: the alive-subtree sum must see it
+    t = time.process_time()
+    while time.process_time() - t < 0.4:
+        sum(i * i for i in range(10000))
     assert tree_cpu_seconds() - t0 >= 0.3
+
+
+# the SIG_IGN churn scenario: a parent ignores SIGCHLD (like pyspark's
+# daemon), forks a burner child that dies mid-window — POSIX discards the
+# child's CPU times, so only polling-while-alive can attribute it
+_SIGIGN_CHURN = r"""
+import os, signal, sys, time
+signal.signal(signal.SIGCHLD, signal.SIG_IGN)
+if os.fork() == 0:
+    t = time.process_time()
+    while time.process_time() - t < 0.8:
+        sum(i * i for i in range(10000))
+    os._exit(0)
+time.sleep(1.4)  # child dies unreaped-into-cutime while we are still alive
+"""
+
+
+def test_meter_survives_sigign_worker_churn():
+    m = ExternalLoadMeter(poll_s=0.05)
+    m.start()
+    subprocess.run([sys.executable, "-c", _SIGIGN_CHURN], check=True)
+    ext = m.stop()
+    # the dead child's ~0.8s CPU must be OWN, not external contention
+    assert m.last_own_cores > 0.25
+    if _box_quiet():
+        assert ext < m.last_own_cores
 
 
 def test_percpu_busy_matches_total():
