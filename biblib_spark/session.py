@@ -20,12 +20,16 @@ def get_spark(
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
-        # one wave per core: this pipeline runs MANY small-to-medium shuffle
-        # stages (tier union, verify joins, CC rounds), where per-task
-        # dispatch latency outweighs straggler smoothing; AQE re-splits any
-        # stage that actually skews. On a real cluster with deep stages,
-        # raise toward 2-3x total cores.
-        shuffle_partitions = max(cores, 16)
+        env_parts = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTS")
+        if env_parts is not None:
+            shuffle_partitions = int(env_parts)
+        else:
+            # one wave per core: this pipeline runs MANY small-to-medium
+            # shuffle stages (tier union, verify joins, CC rounds), where
+            # per-task dispatch latency outweighs straggler smoothing; AQE
+            # re-splits any stage that actually skews. On a real cluster
+            # with deep stages, raise toward 2-3x total cores.
+            shuffle_partitions = max(cores, 16)
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
@@ -40,6 +44,14 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_ADVISORY_MB", "64") + "m",
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # when set, shuffles START at this many partitions and AQE coalesces
+        # each stage down to the advisory size — the idiomatic way to give
+        # huge aggregations more (smaller, spill-free) tasks without slowing
+        # the many small stages (A/B knob; see scripts/ab_partitions.py)
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            os.environ.get("SPARK_GRAFT_INITIAL_PARTS", str(shuffle_partitions)),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # payloads can be multi-KB; 8192 rows/batch keeps per-batch memory
         # in the tens of MB while quartering the JVM<->Python Arrow
@@ -58,13 +70,27 @@ def get_spark(
         # shuffle + checkpoint blocks on tmpfs: /tmp sits on a single virtual
         # disk whose bandwidth does not grow with cores; with 128 GiB RAM the
         # spill path belongs in memory (on a real cluster this is local NVMe
-        # per executor)
+        # per executor). SPARK_LOCAL_DIRS takes a comma list — Spark
+        # round-robins blocks across dirs, so "tmpfs,/tmp" halves tmpfs RAM
+        # pressure on runs whose live shuffle set approaches box RAM
         .config(
             "spark.local.dir",
             os.environ.get(
                 "SPARK_LOCAL_DIRS",
                 "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp",
             ),
+        )
+        # shuffle files and checkpoint blocks are only deleted when the
+        # driver GC collects their dependency objects (ContextCleaner); the
+        # default periodic GC (30 min) outlives a whole run, so with a 16g
+        # rarely-collecting heap a multi-stage pipeline ACCUMULATES every
+        # stage's shuffle on the local dir — ~100 GB of dead files at 25M
+        # records, an OOM on a tmpfs local dir. The checkpoint discipline
+        # makes each stage's shuffles garbage as soon as the next checkpoint
+        # lands, so a 60 s periodic GC caps the live set at ~one stage
+        .config(
+            "spark.cleaner.periodicGC.interval",
+            os.environ.get("SPARK_GRAFT_PERIODIC_GC", "60s"),
         )
     )
     return builder.getOrCreate()

@@ -24,7 +24,9 @@ def run_job(cores: int, payloads: int, repeats: int) -> dict:
            os.path.join(REPO, "scripts", "cluster_job.py"),
            str(cores), str(payloads), "42", str(repeats)]
     out = subprocess.run(cmd, capture_output=True, text=True, check=True)
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    r = json.loads(out.stdout.strip().splitlines()[-1])
+    print("proc done:", json.dumps(r), flush=True)
+    return r
 
 
 def level(name: str, cores: int, payloads: int, repeats: int) -> dict:
