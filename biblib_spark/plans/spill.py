@@ -30,6 +30,9 @@ def _base_dir() -> str:
         "SPARK_LOCAL_DIRS",
         "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp",
     )
+    # SPARK_LOCAL_DIRS may be a comma list (Spark round-robins block dirs);
+    # the parquet spill just needs one of them
+    base = base.split(",")[0]
     path = os.path.join(base, "spill")
     os.makedirs(path, exist_ok=True)
     return path

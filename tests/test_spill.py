@@ -1,0 +1,32 @@
+"""plans/spill.py path handling (no Spark session needed)."""
+
+import os
+
+from biblib_spark.plans import spill
+
+
+def test_base_dir_takes_first_of_comma_list(monkeypatch, tmp_path):
+    """SPARK_LOCAL_DIRS may be a comma list (Spark round-robins block dirs);
+    the parquet spill must use ONE of them, not a literal comma path."""
+    a = tmp_path / "shm"
+    b = tmp_path / "disk"
+    monkeypatch.setenv("SPARK_LOCAL_DIRS", f"{a},{b}")
+    base = spill._base_dir()
+    assert base == str(a / "spill")
+    assert os.path.isdir(base)
+    assert "," not in base
+
+
+def test_base_dir_single_value(monkeypatch, tmp_path):
+    monkeypatch.setenv("SPARK_LOCAL_DIRS", str(tmp_path))
+    assert spill._base_dir() == str(tmp_path / "spill")
+
+
+def test_cleanup_all_removes_registered(monkeypatch, tmp_path):
+    monkeypatch.setenv("SPARK_LOCAL_DIRS", str(tmp_path))
+    p = os.path.join(spill._base_dir(), "x")
+    os.makedirs(p)
+    spill._LIVE.add(p)
+    spill.cleanup_all()
+    assert not os.path.exists(p)
+    assert p not in spill._LIVE
