@@ -72,6 +72,11 @@ def _side(feat: DataFrame, side: str) -> DataFrame:
     )
 
 
+def _side_cols(df: DataFrame, side: str) -> DataFrame:
+    """Alias every column of ``df`` with a pair-side prefix."""
+    return df.select(*[F.col(c).alias(f"{side}_{c}") for c in df.columns])
+
+
 def _coal(c):
     return F.coalesce(c, F.lit(False))
 
@@ -133,29 +138,14 @@ def _containment_arm(m: dict, min_len: int):
     )
 
 
-def verify_pairs(
-    pairs: DataFrame,
-    feat: DataFrame,
-    containment: bool = False,
-    containment_min_len: int = 20,
-) -> DataFrame:
-    """Candidate pairs (a, b) -> verified duplicate pairs (a, b).
-
-    With ``containment=False`` this is exactly the reference predicate
-    (src/dedupe.rs:594-655). ``containment=True`` ORs in the C4 substring
-    arm for truncated/containment duplicates the reference's jaro thresholds
-    miss (gated by DedupConfig.containment_verify in the pipeline).
-    """
-    j = _join_sides(pairs, feat)
-    m = _field_matches()
-
+def _doi_presence():
     a_doi_ok = F.col("a_doi").isNotNull() & (F.col("a_doi") != "")
     b_doi_ok = F.col("b_doi").isNotNull() & (F.col("b_doi") != "")
-    both_doi = a_doi_ok & b_doi_ok
-    doi_eq = _coal(F.col("a_doi") == F.col("b_doi"))
+    return a_doi_ok & b_doi_ok, _coal(F.col("a_doi") == F.col("b_doi"))
 
-    sim = _title_sim_udf(F.col("a_norm_title"), F.col("b_norm_title"), both_doi)
 
+def _arm_predicate(sim, m: dict, both_doi, doi_eq):
+    """The reference arms (src/dedupe.rs:625-648) over a precomputed ``sim``."""
     with_doi = (
         (doi_eq & (sim >= DOI_TITLE_SIMILARITY_THRESHOLD) & (m["journal_match"] | m["issn_match"]))
         | (doi_eq & (sim >= 0.99) & (m["volumes_match"] | m["pages_match"]))
@@ -174,11 +164,122 @@ def verify_pairs(
         )
         | ((sim >= 0.99) & m["years_match"] & m["volumes_match"] & m["pages_match"])
     )
+    return F.when(both_doi, with_doi).otherwise(without_doi)
 
-    is_dup = F.when(both_doi, with_doi).otherwise(without_doi)
+
+def verify_pairs(
+    pairs: DataFrame,
+    feat: DataFrame,
+    containment: bool = False,
+    containment_min_len: int = 20,
+    narrow_first: bool = True,
+) -> DataFrame:
+    """Candidate pairs (a, b) -> verified duplicate pairs (a, b).
+
+    With ``containment=False`` this is exactly the reference predicate
+    (src/dedupe.rs:594-655). ``containment=True`` ORs in the C4 substring
+    arm for truncated/containment duplicates the reference's jaro thresholds
+    miss (gated by DedupConfig.containment_verify in the pipeline).
+
+    ``narrow_first`` (default, pair-set-identical by tests/test_verify.py)
+    splits verification into two joins:
+
+    1. NARROW: pairs join only (rid, norm_title, doi) per side — the title
+       similarity is computed once here and a pair survives only if its sim
+       can still satisfy SOME arm: >= 0.85 needs doi_eq, >= 0.93 needs a
+       missing DOI, everything else needs >= 0.99 (the containment title
+       condition is the OR-escape when enabled). Candidate volume grows
+       superlinearly with corpus size (boilerplate/template titles make LSH
+       band collisions ~n^1.84 — bench_runs/r03/profile_*.json) while
+       VERIFIED pairs stay linear, so this is the join that sees the
+       superlinear row count: it must not carry the wide feature payload.
+    2. WIDE: only the ~linear survivors join the full feature row for the
+       field-match corroborations (journal/issn/volume/pages/year).
+
+    Both stages evaluate the identical predicate pieces, so the output is
+    exactly the single-join plan's — only the shuffle payload moves.
+    """
+    if not narrow_first:
+        j = _join_sides(pairs, feat)
+        m = _field_matches()
+        both_doi, doi_eq = _doi_presence()
+        sim = _title_sim_udf(
+            F.col("a_norm_title"), F.col("b_norm_title"), both_doi
+        )
+        is_dup = _arm_predicate(sim, m, both_doi, doi_eq)
+        if containment:
+            is_dup = is_dup | _containment_arm(m, containment_min_len)
+        return j.filter(is_dup).select("a", "b")
+
+    narrow = feat.select("rid", "norm_title", "doi")
+    j1 = (
+        pairs.join(_side_cols(narrow, "a"), pairs["a"] == F.col("a_rid"))
+        .join(_side_cols(narrow, "b"), pairs["b"] == F.col("b_rid"))
+    )
+    both_doi, doi_eq = _doi_presence()
+    # exact per-pair minimum any arm could accept
+    thr = F.when(doi_eq & both_doi, F.lit(DOI_TITLE_SIMILARITY_THRESHOLD)).otherwise(
+        F.when(both_doi, F.lit(0.99)).otherwise(
+            F.lit(NO_DOI_TITLE_SIMILARITY_THRESHOLD)
+        )
+    )
+
+    t_a, t_b = F.col("a_norm_title"), F.col("b_norm_title")
+    la, lb = F.length(t_a), F.length(t_b)
+
+    # JVM-side EXACT upper bound on the similarity — pairs it prunes can
+    # never reach ``thr``, so they never cross into the Arrow/Python kernel.
+    # jaro = (m/la + m/lb + (m-t)/m)/3 with m <= min(la, lb) gives
+    # jaro <= (2 + lmin/lmax)/3 (kernels/similarity.py; property-tested in
+    # tests/test_similarity.py). jaro_winkler adds an UNCAPPED prefix boost
+    # j + 0.1*p*(1-j), so the bound only closes when the common prefix p is
+    # known: p is computed exactly up to 8 chars in codegen (nested substring
+    # equalities); pairs sharing >= 8 leading chars skip the gate.
+    r = F.when(
+        F.greatest(la, lb) > 0,
+        F.least(la, lb).cast("double") / F.greatest(la, lb),
+    ).otherwise(F.lit(1.0))
+    j_ub = (F.lit(2.0) + r) / F.lit(3.0)
+    p = F.lit(0)
+    for k in range(1, 9):
+        p = F.when(F.substring(t_a, 1, k) == F.substring(t_b, 1, k), k).otherwise(p)
+    jw_ub = F.when(p >= 8, F.lit(1.0)).otherwise(
+        j_ub + F.lit(0.1) * p.cast("double") * (F.lit(1.0) - j_ub)
+    )
+    sim_ub = F.when(both_doi, j_ub).otherwise(jw_ub)
+    gate = sim_ub >= thr
+
+    sim = _title_sim_udf(t_a, t_b, both_doi)
+    cols = [F.col("a"), F.col("b"), sim.alias("sim")]
     if containment:
-        is_dup = is_dup | _containment_arm(m, containment_min_len)
-    return j.filter(is_dup).select("a", "b")
+        contained = (F.least(la, lb) >= containment_min_len) & F.when(
+            la <= lb, t_b.contains(t_a)
+        ).otherwise(t_a.contains(t_b))
+        cols.append(contained.alias("title_contained"))
+        surv = (
+            j1.filter(gate | contained)
+            .select(*cols)
+            .filter((F.col("sim") >= thr) | F.col("title_contained"))
+        )
+    else:
+        surv = j1.filter(gate).select(*cols).filter(F.col("sim") >= thr)
+
+    wide = feat.select(*[c for c in _FEATURE_COLS if c != "norm_title"])
+    j2 = (
+        surv.join(_side_cols(wide, "a"), surv["a"] == F.col("a_rid"))
+        .join(_side_cols(wide, "b"), surv["b"] == F.col("b_rid"))
+    )
+    m = _field_matches()
+    both_doi, doi_eq = _doi_presence()
+    is_dup = _arm_predicate(F.col("sim"), m, both_doi, doi_eq)
+    if containment:
+        is_dup = is_dup | (
+            F.col("title_contained")
+            & m["years_match"]
+            & (m["volumes_match"] | m["pages_match"])
+            & (m["journal_match"] | m["issn_match"])
+        )
+    return j2.filter(is_dup).select("a", "b")
 
 
 def containment_pairs(

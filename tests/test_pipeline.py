@@ -5,7 +5,6 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
-import time
 
 from biblib_spark.corpus import make_corpus
 from biblib_spark.plans.checkpoint import read_marker
@@ -16,21 +15,27 @@ def test_pipeline_resume(spark):
     work = tempfile.mkdtemp(prefix="pipeline_test_")
     try:
         corpus = make_corpus(spark, 150, seed=11)
-        t0 = time.time()
         n1 = run_pipeline(spark, corpus, work).count()
-        t1 = time.time() - t0
         assert n1 > 0
         for stage in ("diagnostics", "clusters"):
             marker = read_marker(os.path.join(work, stage))
             assert "rows" in marker and "lineage" in marker
             assert marker["lineage"]["input_rows"] == 150
 
-        # full resume: all stages skipped, much faster, same rows
-        t0 = time.time()
+        # full resume: all stages skipped (markers untouched), same rows.
+        # Structural check, not wall-clock — a timing ratio flakes under
+        # suite-wide load; an untouched marker mtime proves the stage was
+        # skipped regardless of scheduler noise.
+        mtimes = {
+            stage: os.path.getmtime(os.path.join(work, stage, "_STAGE_OK"))
+            for stage in ("diagnostics", "clusters")
+        }
         n2 = run_pipeline(spark, corpus, work).count()
-        t2 = time.time() - t0
         assert n2 == n1
-        assert t2 < t1 / 3, f"resume took {t2:.1f}s vs first run {t1:.1f}s"
+        for stage, mt in mtimes.items():
+            assert (
+                os.path.getmtime(os.path.join(work, stage, "_STAGE_OK")) == mt
+            ), f"stage {stage} was rebuilt on resume"
 
         # partial resume: only the deleted stage rebuilds, reusing parsed
         shutil.rmtree(os.path.join(work, "clusters"))

@@ -103,3 +103,29 @@ def test_jaro_batch_mixed_lengths_cross_block():
     got = jaro_batch(a, b)
     for i in range(len(a)):
         assert got[i] == pytest.approx(jaro(a[i], b[i]), abs=1e-12)
+
+
+@settings(deadline=None, max_examples=300)
+@given(st.lists(st.tuples(_text, _text), min_size=1, max_size=40))
+def test_jvm_gate_upper_bounds(pairs):
+    """The verify stage-1 JVM gate (operators/verify.py) prunes a pair only
+    when its similarity provably cannot reach the arm threshold. Property:
+    the Python mirror of the gate's bound dominates the exact kernels.
+
+    - jaro(a, b) <= (2 + lmin/lmax) / 3
+    - jaro_winkler(a, b) <= j_ub + 0.1 * p * (1 - j_ub) for common prefix
+      p < 8 (the gate keeps p >= 8 pairs unconditionally)
+    """
+    for a, b in pairs:
+        la, lb = len(a), len(b)
+        r = (min(la, lb) / max(la, lb)) if max(la, lb) > 0 else 1.0
+        j_ub = (2.0 + r) / 3.0
+        assert jaro(a, b) <= j_ub + 1e-12, (a, b)
+        p = 0
+        for ca, cb in zip(a, b):
+            if ca != cb:
+                break
+            p += 1
+        if p < 8:
+            jw_ub = j_ub + 0.1 * p * (1.0 - j_ub)
+            assert jaro_winkler(a, b) <= jw_ub + 1e-12, (a, b)
