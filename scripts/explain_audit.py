@@ -35,6 +35,13 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
     "doc_fingerprints": ([], ["Exchange", "Python"]),  # pure codegen scan
     "lang_id": ([], ["Exchange", "Python"]),
     "ann_topk": (["BroadcastNestedLoopJoin"], []),  # intentional baseline
+    # narrow-first verify: the JVM similarity-upper-bound gate (the 8-char
+    # prefix chain) must appear in the plan, i.e. pruning happens in codegen
+    # before the Arrow/Python similarity kernel sees the pair stream
+    "cite_verify_predicate": (
+        ["ArrowEvalPython", "substring(a_norm_title#"],
+        [],
+    ),
 }
 
 #: every audited plan must avoid the single-partition funnel an
