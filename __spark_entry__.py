@@ -447,6 +447,75 @@ def _q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _code_files(spark: SparkSession) -> DataFrame:
+    """The deterministic code-corpus fixture as the raw input_hint table —
+    both the Spark pipeline and the DuckDB oracle read these bytes."""
+    from biblib_spark.codefixtures import CODE_FILES, ensure_code_fixture
+
+    ensure_code_fixture()
+    return spark.read.parquet(CODE_FILES)
+
+
+def _q_code_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier E of the code-clone pipeline: sha256(content) identity groups
+    (the input_hint per-row invariant doubles as the exact-dup key). Oracle:
+    DuckDB recomputes sha256 from the same raw bytes — a true end-to-end
+    hash-equality check of the ingest invariant."""
+    return (
+        _code_files(spark)
+        .groupBy(F.sha2(F.col("content"), 256).alias("sha"))
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.min("row_id").alias("rep_id"),
+        )
+    )
+
+
+def _q_code_norm_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier N: type-1 clone groups keyed by md5 of the comment-stripped
+    whitespace-collapsed text. Spark normalizes JVM-side
+    (codedup.normalize_code_col); the oracle replays the same regex chain in
+    DuckDB from raw content — engine-independent agreement on the hash."""
+    from biblib_spark.operators.codedup import normalize_code_col
+
+    return (
+        _code_files(spark)
+        .groupBy(F.md5(normalize_code_col(F.col("content"))).alias("norm_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.min("row_id").alias("rep_id"),
+        )
+    )
+
+
+def _q_code_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier M: banded MinHash-LSH candidates over the identifier-canonicalized
+    token stream, star-capped (C7), verified by exact token-4-gram Jaccard in
+    JVM codegen. Oracle: the (rid, lang, bkey) fixture replays the bucket
+    join + cap; the token grams are re-derived in SQL from the ctoks fixture
+    (same Python kernel the Arrow UDF runs)."""
+    from biblib_spark.operators.codedup import (
+        code_features,
+        jaccard_verified_pairs,
+        minhash_candidate_pairs,
+    )
+
+    feat = code_features(_code_files(spark))
+    return jaccard_verified_pairs(feat, minhash_candidate_pairs(feat))
+
+
+def _q_code_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full north_rule pipeline over the input_hint table: exact +
+    normalized + MinHash-LSH + winnowing-containment tiers -> connected
+    components -> (row_id, cluster_id, cluster_size). Oracle: every tier
+    replayed independently in SQL (sha256/norm from raw bytes, band/fp
+    buckets from the kernel-twin fixtures, Jaccard + containment verify in
+    list algebra) + a recursive-CTE min-label fixpoint for CC."""
+    from biblib_spark.operators.codedup import code_dup_clusters
+
+    return code_dup_clusters(_code_files(spark))
+
+
 def _q_citation_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full citation pipeline (parse -> tiered dedup -> CC -> election) on the
     deterministic synthetic corpus. Non-SQL-expressible; rows-only check."""
@@ -670,6 +739,119 @@ def _doc_oracles() -> dict[str, str]:
     }
 
 
+def _code_oracles() -> dict[str, str]:
+    from biblib_spark.codefixtures import (
+        CODE_BANDS,
+        CODE_CTOKS,
+        CODE_FILES,
+        CODE_WFPS,
+        ensure_code_fixture,
+    )
+
+    ensure_code_fixture()
+    # JVM regexp chain of codedup.normalize_code_col replayed in RE2
+    norm = (
+        r"trim(regexp_replace(regexp_replace(regexp_replace("
+        r"regexp_replace(content, '(?s)/\*.*?\*/', ' ', 'g'),"
+        r" '//[^\n]*', ' ', 'g'), '#[^\n]*', ' ', 'g'), '\s+', ' ', 'g'))"
+    )
+    # token-4-gram md5 arrays from the canonicalized token stream (twin of
+    # codedup._token_grams' JVM array pipeline)
+    grams = (
+        f"t AS (SELECT rid, ctoks, string_split(ctoks, ' ') AS words"
+        f"  FROM read_parquet('{CODE_CTOKS}')),"
+        " gs AS (SELECT rid, CASE WHEN len(words) >= 4 THEN"
+        "   list_distinct([md5(array_to_string(words[i:i+3], ' '))"
+        "     FOR i IN range(1, len(words) - 2)])"
+        "  ELSE [md5(ctoks)] END AS grams FROM t)"
+    )
+    # star-capped bucket self-join replay (C7, cap 64) over a (rid, lang, key)
+    # table named {src}; emits cand_{tag}(a, b) rows per shared bucket
+    def _bucket_pairs(src: str, key: str, tag: str) -> str:
+        return (
+            f" g_{tag} AS (SELECT lang, {key}, count(*) AS n, min(rid) AS mn"
+            f"  FROM {src} GROUP BY lang, {key}),"
+            f" small_{tag} AS (SELECT k1.rid AS a, k2.rid AS b FROM {src} k1"
+            f"  JOIN {src} k2 ON k1.lang = k2.lang AND k1.{key} = k2.{key}"
+            f"   AND k1.rid < k2.rid"
+            f"  JOIN g_{tag} ON g_{tag}.lang = k1.lang"
+            f"   AND g_{tag}.{key} = k1.{key} AND g_{tag}.n <= 64),"
+            f" big_{tag} AS (SELECT g_{tag}.mn AS a, {src}.rid AS b FROM {src}"
+            f"  JOIN g_{tag} ON g_{tag}.lang = {src}.lang"
+            f"   AND g_{tag}.{key} = {src}.{key} AND g_{tag}.n > 64"
+            f"   AND {src}.rid <> g_{tag}.mn),"
+            f" cand_{tag} AS (SELECT a, b FROM"
+            f"  (SELECT * FROM small_{tag} UNION ALL SELECT * FROM big_{tag}))"
+        )
+
+    minhash_verified = (
+        f"kk AS (SELECT rid, lang, bkey FROM read_parquet('{CODE_BANDS}')),"
+        + _bucket_pairs("kk", "bkey", "m")
+        + f", {grams},"
+        " jm AS (SELECT c.a, c.b,"
+        "  round(len(list_intersect(g1.grams, g2.grams))::DOUBLE"
+        "   / len(list_distinct(g1.grams || g2.grams)), 4) AS jac"
+        "  FROM (SELECT DISTINCT a, b FROM cand_m) c"
+        "  JOIN gs g1 ON c.a = g1.rid JOIN gs g2 ON c.b = g2.rid),"
+        " vm AS (SELECT a, b, jac FROM jm WHERE jac >= 0.6)"
+    )
+
+    return {
+        "code_exact_dup_groups": (
+            f"SELECT sha256(content) AS sha, count(*) AS n_files,"
+            f" min(row_id) AS rep_id FROM read_parquet('{CODE_FILES}')"
+            " GROUP BY 1"
+        ),
+        "code_norm_dup_groups": (
+            f"SELECT md5({norm}) AS norm_hash, count(*) AS n_files,"
+            f" min(row_id) AS rep_id FROM read_parquet('{CODE_FILES}')"
+            " GROUP BY 1"
+        ),
+        "code_minhash_pairs": (
+            f"WITH {minhash_verified} SELECT a, b, jac FROM vm"
+        ),
+        "code_dup_clusters": (
+            "WITH RECURSIVE "
+            f"files AS (SELECT * FROM read_parquet('{CODE_FILES}')),"
+            # tier E + N: same-key groups connect member -> min rid
+            " sh AS (SELECT row_id AS rid, lang, sha256(content) AS k"
+            "  FROM files),"
+            f" nh AS (SELECT row_id AS rid, lang, md5({norm}) AS k"
+            "  FROM files),"
+            " ex AS (SELECT min(rid) OVER (PARTITION BY lang, k) AS a,"
+            "  rid AS b FROM sh),"
+            " nm AS (SELECT min(rid) OVER (PARTITION BY lang, k) AS a,"
+            "  rid AS b FROM nh),"
+            f" {minhash_verified},"
+            # tier W: winnowed-fingerprint candidates (>=2 shared fps under
+            # the same cap) verified by token-gram containment >= 0.7
+            f" wk AS (SELECT rid, lang, fp FROM read_parquet('{CODE_WFPS}')),"
+            + _bucket_pairs("wk", "fp", "w")
+            + ","
+            " wc AS (SELECT a, b FROM cand_w GROUP BY a, b"
+            "  HAVING count(*) >= 2),"
+            " wv AS (SELECT wc.a, wc.b FROM wc"
+            "  JOIN gs g1 ON wc.a = g1.rid JOIN gs g2 ON wc.b = g2.rid"
+            "  WHERE round(len(list_intersect(g1.grams, g2.grams))::DOUBLE"
+            "   / least(len(g1.grams), len(g2.grams)), 4) >= 0.7),"
+            " edges0 AS (SELECT a, b FROM ex WHERE a <> b"
+            "  UNION SELECT a, b FROM nm WHERE a <> b"
+            "  UNION SELECT a, b FROM vm UNION SELECT a, b FROM wv),"
+            " edges AS (SELECT a AS src, b AS dst FROM edges0"
+            "  UNION ALL SELECT b, a FROM edges0),"
+            " cc(rid, label) AS ("
+            "  SELECT row_id, row_id FROM files"
+            "  UNION"
+            "  SELECT e.src, cc.label FROM edges e JOIN cc ON e.dst = cc.rid),"
+            " lab AS (SELECT rid, min(label) AS cluster_id FROM cc GROUP BY rid),"
+            " sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab"
+            "  GROUP BY cluster_id)"
+            " SELECT lab.rid AS row_id, lab.cluster_id, sz.cluster_size"
+            " FROM lab JOIN sz USING (cluster_id)"
+        ),
+    }
+
+
 def _cite_oracles() -> dict[str, str]:
     from biblib_spark.fixtures import CLUSTERS, FEATURES, PAIRS
 
@@ -841,6 +1023,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_lsh": _q_ann_topk_lsh,
         "ann_recall": _q_ann_recall,
         "doc_fingerprints": _q_doc_fingerprints,
+        # source-code clone pipeline over the input_hint table
+        "code_exact_dup_groups": _q_code_exact_dup_groups,
+        "code_norm_dup_groups": _q_code_norm_dup_groups,
+        "code_minhash_pairs": _q_code_minhash_pairs,
+        "code_dup_clusters": _q_code_dup_clusters,
         # non-SQL-expressible (rows-only checks)
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
@@ -852,6 +1039,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         **_cite_oracles(),
         **_doc_oracles(),
+        **_code_oracles(),
         "exact_dedup": (
             "SELECT md5(text) AS text_hash, count(*) AS n_docs,"
             " min(doc_id) AS rep_id FROM documents GROUP BY md5(text)"

@@ -1,0 +1,191 @@
+"""Deterministic oracle fixture for the source-code clone contract entries.
+
+Same pattern as ``biblib_spark.fixtures`` / ``biblib_spark.docfixtures``:
+the non-SQL-expressible inputs of the code-clone operators — the
+identifier-canonicalized token stream (a Python tokenizer) and the MinHash
+band keys / winnowed fingerprints derived from it — are materialized once,
+pure-Python, with the SAME kernel functions the Spark pipeline uses. The
+DuckDB oracle then re-implements every *operator* independently in SQL over
+those fixtures (sha256/normalization from RAW content, star-capped bucket
+self-joins, token-4-gram Jaccard / containment verify, recursive-CTE
+connected components), while the Spark contract query runs the real
+pipeline end-to-end from the raw file table.
+
+Tables (all keyed by ``rid`` = corpus row_id):
+- code_files.parquet — the raw input_hint table
+  (row_id, repo, path, commit, lang, content)
+- code_ctoks.parquet — (rid, lang, ctoks): scope-local
+  identifier-canonicalized token stream (codedup.canonical_tokens_py over
+  codedup.normalize_code_py)
+- code_bands.parquet — (rid, lang, bkey): banded MinHash LSH keys over
+  char-shingled ctoks at the contract config (k=5, 128 perms, 32 bands,
+  seed 97), exploded
+- code_wfps.parquet  — (rid, lang, fp): winnowed fingerprints of the token
+  stream (k=4 word-grams, window 5 — Python twin of
+  operators/winnow.winnow_fingerprints's JVM pipeline)
+
+Content is a pure function of (SEED, N_ORIGINS); built lazily with an
+atomic rename (concurrent builders produce identical bytes).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import re
+import shutil
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CODE_FIXTURE_DIR = os.path.join(REPO_ROOT, ".oracle_fixture_code_v1")
+CODE_FILES = os.path.join(CODE_FIXTURE_DIR, "code_files.parquet")
+CODE_CTOKS = os.path.join(CODE_FIXTURE_DIR, "code_ctoks.parquet")
+CODE_BANDS = os.path.join(CODE_FIXTURE_DIR, "code_bands.parquet")
+CODE_WFPS = os.path.join(CODE_FIXTURE_DIR, "code_wfps.parquet")
+
+N_ORIGINS = 250
+SEED = 13
+
+
+def winnow_fps_py(ctoks: str, k: int = 4, window: int = 5) -> list[str]:
+    """Pure-Python twin of winnow.winnow_fingerprints' JVM array pipeline:
+    md5-hex word-k-grams, min per sliding window (lexicographic over hex),
+    distinct. Degenerate cases follow the JVM operator exactly."""
+    words = re.split(" +", ctoks)
+    if len(words) >= k:
+        grams = [
+            hashlib.md5(" ".join(words[i : i + k]).encode()).hexdigest()
+            for i in range(len(words) - k + 1)
+        ]
+    else:
+        grams = [hashlib.md5(ctoks.encode()).hexdigest()]
+    if len(grams) >= window:
+        sel = []
+        seen = set()
+        for p in range(len(grams) - window + 1):
+            m = min(grams[p : p + window])
+            if m not in seen:
+                seen.add(m)
+                sel.append(m)
+    else:
+        sel = [min(grams)]
+    return sel
+
+
+def _build(tmp: str) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from biblib_spark.codecorpus import (
+        SLOTS_PER_ORIGIN,
+        clone_text,
+        n_clones,
+        _ident,
+        _EXT,
+    )
+    from biblib_spark.functions.minhash import _perm_params, lsh_keys_batch
+    from biblib_spark.operators.codedup import (
+        MINHASH_BANDS,
+        MINHASH_K,
+        MINHASH_PERMS,
+        MINHASH_SEED,
+        WINNOW_K,
+        WINNOW_WINDOW,
+        canonical_tokens_py,
+        normalize_code_py,
+    )
+
+    rows = []
+    for o in range(N_ORIGINS):
+        for k in range(n_clones(o, SEED)):
+            rid = o * SLOTS_PER_ORIGIN + k
+            lang, content = clone_text(o, k, SEED)
+            rows.append(
+                {
+                    "row_id": rid,
+                    "repo": f"org{o % 57}/repo{o % 503}",
+                    "path": f"src/{_ident(SEED, 'dir', o)}/"
+                    f"{_ident(SEED, 'fl', rid)}.{_EXT[lang]}",
+                    "commit": hashlib.sha256(
+                        f"cc{SEED}-{rid}".encode()
+                    ).hexdigest()[:40],
+                    "lang": lang,
+                    "content": content,
+                }
+            )
+
+    pq.write_table(
+        pa.table(
+            {
+                "row_id": pa.array([r["row_id"] for r in rows], pa.int64()),
+                "repo": pa.array([r["repo"] for r in rows], pa.string()),
+                "path": pa.array([r["path"] for r in rows], pa.string()),
+                "commit": pa.array([r["commit"] for r in rows], pa.string()),
+                "lang": pa.array([r["lang"] for r in rows], pa.string()),
+                "content": pa.array([r["content"] for r in rows], pa.string()),
+            }
+        ),
+        os.path.join(tmp, "code_files.parquet"),
+    )
+
+    rids = [r["row_id"] for r in rows]
+    langs = [r["lang"] for r in rows]
+    ctoks = [
+        canonical_tokens_py(normalize_code_py(r["content"])) for r in rows
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "rid": pa.array(rids, pa.int64()),
+                "lang": pa.array(langs, pa.string()),
+                "ctoks": pa.array(ctoks, pa.string()),
+            }
+        ),
+        os.path.join(tmp, "code_ctoks.parquet"),
+    )
+
+    a, b = _perm_params(MINHASH_PERMS, MINHASH_SEED)
+    keys = lsh_keys_batch(ctoks, MINHASH_K, a, b, MINHASH_BANDS)
+    pq.write_table(
+        pa.table(
+            {
+                "rid": pa.array(
+                    [r for r, ks in zip(rids, keys) for _ in ks], pa.int64()
+                ),
+                "lang": pa.array(
+                    [lg for lg, ks in zip(langs, keys) for _ in ks], pa.string()
+                ),
+                "bkey": pa.array([k for ks in keys for k in ks], pa.int64()),
+            }
+        ),
+        os.path.join(tmp, "code_bands.parquet"),
+    )
+
+    fps = [winnow_fps_py(t, WINNOW_K, WINNOW_WINDOW) for t in ctoks]
+    pq.write_table(
+        pa.table(
+            {
+                "rid": pa.array(
+                    [r for r, fs in zip(rids, fps) for _ in fs], pa.int64()
+                ),
+                "lang": pa.array(
+                    [lg for lg, fs in zip(langs, fps) for _ in fs], pa.string()
+                ),
+                "fp": pa.array([f for fs in fps for f in fs], pa.string()),
+            }
+        ),
+        os.path.join(tmp, "code_wfps.parquet"),
+    )
+
+
+def ensure_code_fixture() -> str:
+    """Build the fixture parquet files if missing; returns CODE_FIXTURE_DIR."""
+    if os.path.isdir(CODE_FIXTURE_DIR):
+        return CODE_FIXTURE_DIR
+    tmp = f"{CODE_FIXTURE_DIR}.tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    _build(tmp)
+    try:
+        os.rename(tmp, CODE_FIXTURE_DIR)
+    except OSError:  # lost the race; the other builder's copy is identical
+        shutil.rmtree(tmp, ignore_errors=True)
+    return CODE_FIXTURE_DIR
