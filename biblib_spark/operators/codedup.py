@@ -294,14 +294,14 @@ def code_dup_edges(feat: DataFrame) -> DataFrame:
     )
 
 
-def code_dup_clusters(files: DataFrame) -> DataFrame:
-    """(row_id, cluster_id, cluster_size) over the input_hint table.
+def clusters_from_edges(feat: DataFrame, edges: DataFrame) -> DataFrame:
+    """(row_id, cluster_id, cluster_size) from features + verified edges.
 
     cluster_id = min row_id of the component (C6 min-label convention);
-    singletons pass through with their own id (M11).
+    singletons pass through with their own id (M11). Split out so the
+    checkpointed pipeline (plans/code_pipeline.py) can resume from a
+    persisted edge stage without re-running the tiers.
     """
-    feat = code_features(files).localCheckpoint(eager=False)
-    edges = code_dup_edges(feat)
     rids = feat.select("rid")
     cc = assign_clusters(rids, edges)
     sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
@@ -309,3 +309,9 @@ def code_dup_clusters(files: DataFrame) -> DataFrame:
         cc.join(sizes, "cluster_id")
         .select(F.col("rid").alias("row_id"), "cluster_id", "cluster_size")
     )
+
+
+def code_dup_clusters(files: DataFrame) -> DataFrame:
+    """(row_id, cluster_id, cluster_size) over the input_hint table."""
+    feat = code_features(files).localCheckpoint(eager=False)
+    return clusters_from_edges(feat, code_dup_edges(feat))

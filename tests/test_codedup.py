@@ -228,3 +228,89 @@ def test_cluster_sizes_consistent(spark):
     for r in rows:
         assert r.cluster_size == by_cluster[r.cluster_id]
     assert len(rows) == files.count()  # singleton passthrough (M11)
+
+
+# ----------------------------------------------------- checkpointed pipeline
+
+
+def test_code_pipeline_resume_and_parity(spark):
+    """C8 on the code arm: staged output == direct operator output; a full
+    resume touches no marker; deleting one stage rebuilds only it."""
+    import os
+    import shutil
+    import tempfile
+
+    from biblib_spark.plans.checkpoint import read_marker
+    from biblib_spark.plans.code_pipeline import run_code_pipeline
+
+    work = tempfile.mkdtemp(prefix="code_pipeline_")
+    try:
+        files = make_code_corpus(spark, 120, seed=SEED)
+        staged = {
+            (r.row_id, r.cluster_id, r.cluster_size)
+            for r in run_code_pipeline(spark, files, work).collect()
+        }
+        direct = {
+            (r.row_id, r.cluster_id, r.cluster_size)
+            for r in code_dup_clusters(files).collect()
+        }
+        assert staged == direct and len(staged) > 0
+
+        stages = ("features", "edges", "clusters")
+        for stage in stages:
+            marker = read_marker(os.path.join(work, stage))
+            assert marker["rows"] > 0
+            assert marker["lineage"]["input_rows"] == files.count()
+            assert marker["partitions"]  # per-partition lineage present
+
+        # full resume: markers untouched (structural skip proof, not timing)
+        mtimes = {
+            s: os.path.getmtime(os.path.join(work, s, "_STAGE_OK"))
+            for s in stages
+        }
+        again = {
+            (r.row_id, r.cluster_id, r.cluster_size)
+            for r in run_code_pipeline(spark, files, work).collect()
+        }
+        assert again == staged
+        for s, mt in mtimes.items():
+            assert os.path.getmtime(os.path.join(work, s, "_STAGE_OK")) == mt, (
+                f"stage {s} was rebuilt on resume"
+            )
+
+        # partial resume: only the deleted stage rebuilds (features reused)
+        shutil.rmtree(os.path.join(work, "clusters"))
+        third = {
+            (r.row_id, r.cluster_id, r.cluster_size)
+            for r in run_code_pipeline(spark, files, work).collect()
+        }
+        assert third == staged
+        for s in ("features", "edges"):
+            assert os.path.getmtime(os.path.join(work, s, "_STAGE_OK")) == mtimes[s]
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def test_code_pipeline_changed_input_rebuilds(spark):
+    """Resuming a work_dir against different input must rebuild, not return
+    the stale stage (marker lineage comparison)."""
+    import os
+    import shutil
+    import tempfile
+
+    from biblib_spark.plans.checkpoint import read_marker
+    from biblib_spark.plans.code_pipeline import run_code_pipeline
+
+    work = tempfile.mkdtemp(prefix="code_relineage_")
+    try:
+        n1 = run_code_pipeline(
+            spark, make_code_corpus(spark, 60, seed=1), work
+        ).count()
+        n2 = run_code_pipeline(
+            spark, make_code_corpus(spark, 90, seed=2), work
+        ).count()
+        assert n2 != n1  # rebuilt from the new corpus, not resumed
+        marker = read_marker(os.path.join(work, "features"))
+        assert marker["lineage"]["input_rows"] == n2
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
