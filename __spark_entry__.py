@@ -755,8 +755,10 @@ def _code_oracles() -> dict[str, str]:
         r"regexp_replace(content, '(?s)/\*.*?\*/', ' ', 'g'),"
         r" '//[^\n]*', ' ', 'g'), '#[^\n]*', ' ', 'g'), '\s+', ' ', 'g'))"
     )
-    # token-4-gram md5 arrays from the canonicalized token stream (twin of
-    # codedup._token_grams' JVM array pipeline)
+    # token-4-gram md5 arrays from the canonicalized token stream — an
+    # INDEPENDENT re-derivation of codedup's gram sets (Spark hashes grams
+    # to int64 in code_feature_rows; only intersect/union COUNTS meet the
+    # contract, and those agree for any collision-free hash)
     grams = (
         f"t AS (SELECT rid, ctoks, string_split(ctoks, ' ') AS words"
         f"  FROM read_parquet('{CODE_CTOKS}')),"
@@ -791,7 +793,8 @@ def _code_oracles() -> dict[str, str]:
         " jm AS (SELECT c.a, c.b,"
         "  round(len(list_intersect(g1.grams, g2.grams))::DOUBLE"
         "   / len(list_distinct(g1.grams || g2.grams)), 4) AS jac"
-        "  FROM (SELECT DISTINCT a, b FROM cand_m) c"
+        "  FROM (SELECT a, b FROM cand_m GROUP BY a, b"
+        "   HAVING count(*) >= 2) c"  # >=2 shared bands (MINHASH_MIN_BANDS)
         "  JOIN gs g1 ON c.a = g1.rid JOIN gs g2 ON c.b = g2.rid),"
         " vm AS (SELECT a, b, jac FROM jm WHERE jac >= 0.6)"
     )

@@ -177,6 +177,27 @@ def main() -> None:
             exact_rows,
         ),
     }
+
+    # code-clone arm (north_rule input shape): full tiered clone clustering
+    # over a synthesized (repo, path, commit, lang, content) table sized to
+    # sf (sf0.1 -> 25k origins ~= 101k files). The code-arm SCALING campaign
+    # is a separately committed artifact (bench_runs/r03/code_scale4_*.json,
+    # scripts/code_cluster_job.py) — re-measuring two cold levels here would
+    # double the bench wall; this in-process figure tracks regressions.
+    from biblib_spark.codecorpus import make_code_corpus
+    from biblib_spark.operators.codedup import code_dup_clusters
+
+    code_origins = max(2_000, int(250_000 * _SF))
+    code_files = make_code_corpus(spark, code_origins, seed=SEED)
+    code_files = code_files.localCheckpoint(eager=True)
+    t0 = time.time()
+    n_code = code_dup_clusters(code_files).count()
+    queries["code_dup_clusters"] = round(time.time() - t0, 3)
+    code = {
+        "files": n_code,
+        "seconds": queries["code_dup_clusters"],
+        "files_per_sec": round(n_code / queries["code_dup_clusters"], 1),
+    }
     spark.stop()
 
     scaling = None
@@ -232,6 +253,7 @@ def main() -> None:
         "records_clustered": big["records"],
         "records_per_sec": round(thr_big, 1),
         "ann": ann,
+        "code": code,
     }
     if scaling is not None:
         out["scaling"] = scaling

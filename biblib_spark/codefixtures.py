@@ -17,12 +17,15 @@ Tables (all keyed by ``rid`` = corpus row_id):
 - code_ctoks.parquet — (rid, lang, ctoks): scope-local
   identifier-canonicalized token stream (codedup.canonical_tokens_py over
   codedup.normalize_code_py)
-- code_bands.parquet — (rid, lang, bkey): banded MinHash LSH keys over
-  char-shingled ctoks at the contract config (k=5, 128 perms, 32 bands,
-  seed 97), exploded
-- code_wfps.parquet  — (rid, lang, fp): winnowed fingerprints of the token
-  stream (k=4 word-grams, window 5 — Python twin of
-  operators/winnow.winnow_fingerprints's JVM pipeline)
+- code_bands.parquet — (rid, lang, bkey): banded MinHash LSH keys over the
+  token-4-gram hash set at the contract config (192 perms, 48 bands of 4
+  rows, seed 97), exploded
+- code_wfps.parquet  — (rid, lang, fp): winnowed int64 fingerprints of the
+  token-4-gram hash sequence (window 5, MOSS selection)
+
+Bands and fingerprints are produced by the SAME batch kernel the Spark
+feature UDF runs (codedup.code_feature_rows) — parity by construction, not
+by a hand-maintained twin.
 
 Content is a pure function of (SEED, N_ORIGINS); built lazily with an
 atomic rename (concurrent builders produce identical bytes).
@@ -32,11 +35,10 @@ from __future__ import annotations
 
 import hashlib
 import os
-import re
 import shutil
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-CODE_FIXTURE_DIR = os.path.join(REPO_ROOT, ".oracle_fixture_code_v1")
+CODE_FIXTURE_DIR = os.path.join(REPO_ROOT, ".oracle_fixture_code_v3")
 CODE_FILES = os.path.join(CODE_FIXTURE_DIR, "code_files.parquet")
 CODE_CTOKS = os.path.join(CODE_FIXTURE_DIR, "code_ctoks.parquet")
 CODE_BANDS = os.path.join(CODE_FIXTURE_DIR, "code_bands.parquet")
@@ -46,32 +48,8 @@ N_ORIGINS = 250
 SEED = 13
 
 
-def winnow_fps_py(ctoks: str, k: int = 4, window: int = 5) -> list[str]:
-    """Pure-Python twin of winnow.winnow_fingerprints' JVM array pipeline:
-    md5-hex word-k-grams, min per sliding window (lexicographic over hex),
-    distinct. Degenerate cases follow the JVM operator exactly."""
-    words = re.split(" +", ctoks)
-    if len(words) >= k:
-        grams = [
-            hashlib.md5(" ".join(words[i : i + k]).encode()).hexdigest()
-            for i in range(len(words) - k + 1)
-        ]
-    else:
-        grams = [hashlib.md5(ctoks.encode()).hexdigest()]
-    if len(grams) >= window:
-        sel = []
-        seen = set()
-        for p in range(len(grams) - window + 1):
-            m = min(grams[p : p + window])
-            if m not in seen:
-                seen.add(m)
-                sel.append(m)
-    else:
-        sel = [min(grams)]
-    return sel
-
-
 def _build(tmp: str) -> None:
+    import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -82,15 +60,8 @@ def _build(tmp: str) -> None:
         _ident,
         _EXT,
     )
-    from biblib_spark.functions.minhash import _perm_params, lsh_keys_batch
     from biblib_spark.operators.codedup import (
-        MINHASH_BANDS,
-        MINHASH_K,
-        MINHASH_PERMS,
-        MINHASH_SEED,
-        WINNOW_K,
-        WINNOW_WINDOW,
-        canonical_tokens_py,
+        code_feature_rows,
         normalize_code_py,
     )
 
@@ -129,9 +100,9 @@ def _build(tmp: str) -> None:
 
     rids = [r["row_id"] for r in rows]
     langs = [r["lang"] for r in rows]
-    ctoks = [
-        canonical_tokens_py(normalize_code_py(r["content"])) for r in rows
-    ]
+    ctoks, _grams, wfps, keys = code_feature_rows(
+        [normalize_code_py(r["content"]) for r in rows]
+    )
     pq.write_table(
         pa.table(
             {
@@ -143,8 +114,6 @@ def _build(tmp: str) -> None:
         os.path.join(tmp, "code_ctoks.parquet"),
     )
 
-    a, b = _perm_params(MINHASH_PERMS, MINHASH_SEED)
-    keys = lsh_keys_batch(ctoks, MINHASH_K, a, b, MINHASH_BANDS)
     pq.write_table(
         pa.table(
             {
@@ -160,17 +129,22 @@ def _build(tmp: str) -> None:
         os.path.join(tmp, "code_bands.parquet"),
     )
 
-    fps = [winnow_fps_py(t, WINNOW_K, WINNOW_WINDOW) for t in ctoks]
     pq.write_table(
         pa.table(
             {
                 "rid": pa.array(
-                    [r for r, fs in zip(rids, fps) for _ in fs], pa.int64()
+                    [r for r, fs in zip(rids, wfps) for _ in fs], pa.int64()
                 ),
                 "lang": pa.array(
-                    [lg for lg, fs in zip(langs, fps) for _ in fs], pa.string()
+                    [lg for lg, fs in zip(langs, wfps) for _ in fs],
+                    pa.string(),
                 ),
-                "fp": pa.array([f for fs in fps for f in fs], pa.string()),
+                "fp": pa.array(
+                    np.concatenate([w for w in wfps]).astype(np.int64)
+                    if wfps
+                    else np.empty(0, dtype=np.int64),
+                    pa.int64(),
+                ),
             }
         ),
         os.path.join(tmp, "code_wfps.parquet"),

@@ -219,6 +219,55 @@ def lsh_keys_batch(
     return out
 
 
+def band_keys_from_hash_arrays(
+    hash_arrays: list, a: np.ndarray, b: np.ndarray, bands: int
+) -> list[list[int]]:
+    """Per-document LSH band keys from PRE-HASHED shingle sets.
+
+    The code arm shingles on token n-grams whose 64-bit hashes are already
+    computed in the feature kernel (operators/codedup.py); re-shingling the
+    raw text chars here would repeat that work ~5x over. Each document's
+    hash set is folded to the 32-bit domain the permutation arithmetic
+    requires (a*x + b stays under 2^64 only for x < 2^32), then the same
+    chunked ``np.minimum.reduceat`` signature broadcast as
+    ``lsh_keys_batch`` runs over the concatenation. Empty sets produce no
+    keys (the document simply generates no tier-M candidates).
+    """
+    n = len(hash_arrays)
+    out: list[list[int]] = [[] for _ in range(n)]
+    idx: list[int] = []
+    parts: list[np.ndarray] = []
+    for i, h in enumerate(hash_arrays):
+        arr = np.asarray(h, dtype=np.uint64)
+        if arr.size:
+            idx.append(i)
+            parts.append(arr & _MASK32)
+    if not parts:
+        return out
+    concat = np.concatenate(parts)
+    counts = np.fromiter((p.size for p in parts), dtype=np.int64)
+    bounds = np.concatenate(([0], np.cumsum(counts)))
+    total_rows = len(parts)
+    row = 0
+    while row < total_rows:
+        end_row = row
+        while end_row < total_rows and (
+            end_row == row
+            or bounds[end_row + 1] - bounds[row] <= _SIG_CHUNK_SHINGLES
+        ):
+            end_row += 1
+        lo, hi = bounds[row], bounds[end_row]
+        vals = (a[:, None] * concat[None, lo:hi] + b[:, None]) % _MERSENNE61
+        sigs = np.minimum.reduceat(
+            vals, (bounds[row:end_row] - lo).astype(np.int64), axis=1
+        ).T
+        keys = band_keys_matrix(sigs.astype(np.uint64), bands)
+        for r in range(row, end_row):
+            out[idx[r]] = keys[r - row].tolist()
+        row = end_row
+    return out
+
+
 def make_band_keys_udf(k: int, num_perm: int, bands: int, seed: int):
     """pandas UDF: norm_title -> array<long> of LSH band keys."""
     assert num_perm % bands == 0, "num_perm must be divisible by bands"

