@@ -42,6 +42,13 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
         ["ArrowEvalPython", "substring(a_norm_title#"],
         [],
     ),
+    # code-clone arm: identity tiers are pure JVM (sha2/md5+regexp into a
+    # hash aggregate — no Python worker anywhere in the plan)
+    "code_exact_dup_groups": (["HashAggregate"], ["Python"]),
+    "code_norm_dup_groups": (["HashAggregate"], ["Python"]),
+    # tier M verify must stay codegen: exact Jaccard via array_intersect
+    # over int64 gram hashes (the only Python is the one feature pass)
+    "code_minhash_pairs": (["array_intersect"], []),
 }
 
 #: every audited plan must avoid the single-partition funnel an
