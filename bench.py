@@ -180,8 +180,9 @@ def main() -> None:
 
     # code-clone arm (north_rule input shape): full tiered clone clustering
     # over a synthesized (repo, path, commit, lang, content) table sized to
-    # sf (sf0.1 -> 25k origins ~= 101k files). The code-arm SCALING campaign
-    # is a separately committed artifact (bench_runs/r03/code_scale4_*.json,
+    # sf (sf0.1 -> 25k origins ~= 42k files). The code-arm SCALING campaign
+    # is a separately committed artifact (bench_runs/r03/code_scale600k_* at
+    # 1.0M files and code_scale3m_* at 3.05M files, via
     # scripts/code_cluster_job.py) — re-measuring two cold levels here would
     # double the bench wall; this in-process figure tracks regressions.
     from biblib_spark.codecorpus import make_code_corpus

@@ -226,9 +226,12 @@ def gram_hashes_py(tokens: list[str], n: int = TOKEN_GRAM) -> np.ndarray:
         for j in range(n):
             h = h * _GPOLY + win[:, j]
     else:
-        acc = np.uint64(0)
-        for t in ids:
-            acc = acc * _GPOLY + t
+        # uint64 wraparound is the hash definition; numpy warns on the
+        # scalar path only (the vectorized path above wraps silently)
+        with np.errstate(over="ignore"):
+            acc = np.uint64(0)
+            for t in ids:
+                acc = acc * _GPOLY + t
         h = np.array([acc], dtype=np.uint64)
     return _fmix64(h.copy())
 
