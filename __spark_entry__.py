@@ -472,10 +472,12 @@ def _q_code_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_code_norm_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tier N: type-1 clone groups keyed by md5 of the comment-stripped
-    whitespace-collapsed text. Spark normalizes JVM-side
-    (codedup.normalize_code_col); the oracle replays the same regex chain in
-    DuckDB from raw content — engine-independent agreement on the hash."""
+    """Regex-twin normalization check: type-1 groups keyed by md5 of the
+    comment-stripped whitespace-collapsed text, Spark JVM regexp
+    (codedup.normalize_code_col) vs the same chain replayed in DuckDB RE2
+    from raw content — engine-independent agreement on the hash. (The
+    production pipeline keys tier N on the lexer-grade normalizer instead;
+    see code_norm_lexed_groups.)"""
     from biblib_spark.operators.codedup import normalize_code_col
 
     return (
@@ -484,6 +486,25 @@ def _q_code_norm_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_files"),
             F.min("row_id").alias("rep_id"),
+        )
+    )
+
+
+def _q_code_norm_lexed_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production tier N: type-1 clone groups keyed by md5 of the
+    string-literal-safe lexer normalization (kernels/codelex.py), computed
+    inside the one-pass Arrow feature UDF. The normalizer itself is
+    pytest-covered (string-literal round-trips, per-lang comment semantics,
+    regex-twin agreement on marker-free code); this entry checks the Spark
+    plumbing end-to-end against the kernel-built fixture hash."""
+    from biblib_spark.operators.codedup import code_features
+
+    return (
+        code_features(_code_files(spark))
+        .groupBy("norm_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.min("rid").alias("rep_id"),
         )
     )
 
@@ -517,8 +538,12 @@ def _q_code_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_citation_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full citation pipeline (parse -> tiered dedup -> CC -> election) on the
-    deterministic synthetic corpus. Non-SQL-expressible; rows-only check."""
+    """Full citation pipeline (parse -> tiered dedup -> CC -> election) on
+    the deterministic synthetic corpus, from raw payload bytes. Oracle: the
+    ENTIRE pipeline replayed in DuckDB over the kernel-built e2e fixture
+    (fixtures.ensure_e2e_fixture + _e2e_citation_sql) — parse features and
+    similarity-tier keys from the same kernels, every operator (tiers, caps,
+    verify arms, CC, election) re-implemented independently in SQL."""
     from biblib_spark.corpus import make_corpus
     from biblib_spark.operators.dedupe import dedupe_records, records_from_parsed
     from biblib_spark.sources.parse import parse_corpus
@@ -526,7 +551,7 @@ def _q_citation_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = make_corpus(spark, num_payloads=200, records_per_payload=6, seed=42)
     parsed = parse_corpus(corpus)
     return dedupe_records(records_from_parsed(parsed)).select(
-        "rid", "cluster_id", "is_unique"
+        "rid", "cluster_id", F.col("is_unique").cast("int").alias("is_unique")
     )
 
 
@@ -810,6 +835,10 @@ def _code_oracles() -> dict[str, str]:
             f" min(row_id) AS rep_id FROM read_parquet('{CODE_FILES}')"
             " GROUP BY 1"
         ),
+        "code_norm_lexed_groups": (
+            f"SELECT norm_hash, count(*) AS n_files, min(rid) AS rep_id"
+            f" FROM read_parquet('{CODE_CTOKS}') GROUP BY 1"
+        ),
         "code_minhash_pairs": (
             f"WITH {minhash_verified} SELECT a, b, jac FROM vm"
         ),
@@ -819,8 +848,11 @@ def _code_oracles() -> dict[str, str]:
             # tier E + N: same-key groups connect member -> min rid
             " sh AS (SELECT row_id AS rid, lang, sha256(content) AS k"
             "  FROM files),"
-            f" nh AS (SELECT row_id AS rid, lang, md5({norm}) AS k"
-            "  FROM files),"
+            # tier N key: the lexer-grade normalization is a state machine
+            # (kernels/codelex.py), not SQL-expressible — the oracle reads
+            # the kernel-built hash fixture like it reads bands/fingerprints
+            f" nh AS (SELECT rid, lang, norm_hash AS k"
+            f"  FROM read_parquet('{CODE_CTOKS}')),"
             " ex AS (SELECT min(rid) OVER (PARTITION BY lang, k) AS a,"
             "  rid AS b FROM sh),"
             " nm AS (SELECT min(rid) OVER (PARTITION BY lang, k) AS a,"
@@ -858,11 +890,11 @@ def _code_oracles() -> dict[str, str]:
 def _cite_oracles() -> dict[str, str]:
     from biblib_spark.fixtures import CLUSTERS, FEATURES, PAIRS
 
-    # shared CTE: field matches + strsim-parity similarity for every
-    # within-year candidate pair (reference src/dedupe.rs:594-655)
-    scored = (
-        f"f AS (SELECT * FROM read_parquet('{FEATURES}')),"
-        f" p AS (SELECT * FROM read_parquet('{PAIRS}')),"
+    # shared CTE chain: field matches + strsim-parity similarity + the M4-M8
+    # arm predicate over predefined CTEs f(features) and p(a, b) candidates
+    # (reference src/dedupe.rs:594-655) — used by the fixture-pair entries
+    # below and by the flagship e2e replay (_e2e_oracle)
+    verify_chain = (
         " j AS (SELECT p.a, p.b, f1.norm_title AS t1, f2.norm_title AS t2,"
         "  f1.doi AS d1, f2.doi AS d2,"
         "  (coalesce(f1.norm_journal = f2.norm_journal, false)"
@@ -895,6 +927,12 @@ def _cite_oracles() -> dict[str, str]:
         "   (jwsim >= 0.93 AND (vm OR pm) AND (jm OR im))"
         "   OR (jwsim >= 0.99 AND ym AND vm AND pm)"
         "  END)"
+    )
+
+    scored = (
+        f"f AS (SELECT * FROM read_parquet('{FEATURES}')),"
+        f" p AS (SELECT * FROM read_parquet('{PAIRS}')),"
+        + verify_chain
     )
 
     election = (
@@ -986,7 +1024,100 @@ def _cite_oracles() -> dict[str, str]:
             )
         ),
         "cite_election_abstract": election.format(pref="1073741824"),
+        "citation_clusters": _e2e_citation_sql(verify_chain),
     }
+
+
+def _e2e_citation_sql(verify_chain: str) -> str:
+    """Full-pipeline replay for the flagship e2e entry (codefixtures.py
+    pattern on the citation arm): the features and similarity-tier keys come
+    from the kernel-built fixture over the SAME corpus the Spark query
+    parses from raw bytes (fixtures.ensure_e2e_fixture); every OPERATOR —
+    tier admission with the C7 star cap (max_bucket 64), C5 pair dedup, the
+    M4-M8 verify arms, the C4 containment arm, C6 connected components, the
+    M10 abstract/DOI election — is re-implemented here independently in SQL.
+    Tier keys are tag-prefixed strings where Spark uses tier-salted xxhash64
+    (flat_candidate_keys): bucket partitions agree for any collision-free
+    hash."""
+    from biblib_spark.fixtures import (
+        E2E_FEATURES,
+        E2E_LSH,
+        E2E_SIM,
+        ensure_e2e_fixture,
+    )
+
+    ensure_e2e_fixture()
+    return (
+        "WITH RECURSIVE "
+        f"f AS (SELECT * FROM read_parquet('{E2E_FEATURES}')),"
+        # tier keys: identity (C1) from feature columns, LSH bands / SimHash
+        # quarters (C2-C3) from the kernel-built fixtures, affix slices (C4
+        # admission) derived in SQL — tag-prefixed so tiers never merge
+        " keyed AS ("
+        "  SELECT rid, year_key, 'd|' || doi AS kb FROM f"
+        "   WHERE doi IS NOT NULL AND doi <> ''"
+        "  UNION ALL SELECT rid, year_key, 'm|' || pmid FROM f"
+        "   WHERE pmid IS NOT NULL AND pmid <> ''"
+        "  UNION ALL SELECT rid, year_key, 'a|' || accession_number FROM f"
+        "   WHERE accession_number IS NOT NULL AND accession_number <> ''"
+        "  UNION ALL SELECT rid, year_key, 'l|' || k::VARCHAR"
+        f"  FROM read_parquet('{E2E_LSH}')"
+        "  UNION ALL SELECT rid, year_key, 's|' || k::VARCHAR"
+        f"  FROM read_parquet('{E2E_SIM}')"
+        "  UNION ALL SELECT rid, year_key, 'p|' || substring(norm_title, 1, 24)"
+        "   FROM f WHERE length(norm_title) >= 24"
+        "  UNION ALL SELECT rid, year_key,"
+        "   'x|' || substring(norm_title, length(norm_title) - 23, 24)"
+        "   FROM f WHERE length(norm_title) >= 24),"
+        # C7 star-cap replay on (year_key, kb), cap 64: small buckets emit
+        # all pairs, oversize buckets star against the min rid
+        " g AS (SELECT year_key, kb, count(*) AS n, min(rid) AS mn FROM keyed"
+        "  GROUP BY 1, 2),"
+        " ksml AS (SELECT k1.rid AS a, k2.rid AS b FROM keyed k1"
+        "  JOIN keyed k2 ON k1.year_key = k2.year_key AND k1.kb = k2.kb"
+        "   AND k1.rid < k2.rid"
+        "  JOIN g ON g.year_key = k1.year_key AND g.kb = k1.kb AND g.n <= 64),"
+        " kbig AS (SELECT g.mn AS a, keyed.rid AS b FROM keyed"
+        "  JOIN g ON g.year_key = keyed.year_key AND g.kb = keyed.kb"
+        "   AND g.n > 64 AND keyed.rid <> g.mn),"
+        # C5: one verify per unordered pair
+        " p AS (SELECT DISTINCT a, b FROM"
+        "  (SELECT a, b FROM ksml UNION ALL SELECT a, b FROM kbig)),"
+        + verify_chain
+        + ","
+        # C4 containment verify arm (verify_pairs(containment=True)): the
+        # shorter title a strict substring of the longer, same-year +
+        # volume/pages + journal/issn corroboration
+        " contained AS (SELECT a, b FROM v"
+        "  WHERE least(length(t1), length(t2)) >= 20"
+        "  AND (CASE WHEN length(t1) <= length(t2) THEN contains(t2, t1)"
+        "       ELSE contains(t1, t2) END)"
+        "  AND ym AND (vm OR pm) AND (jm OR im)),"
+        " edges0 AS (SELECT a, b FROM verified"
+        "  UNION SELECT a, b FROM contained),"
+        " edges AS (SELECT a AS src, b AS dst FROM edges0"
+        "  UNION ALL SELECT b, a FROM edges0),"
+        # C6 min-label fixpoint; vertices seeded with their own rid (M11)
+        " cc(rid, label) AS ("
+        "  SELECT rid, rid FROM f"
+        "  UNION"
+        "  SELECT e.src, cc.label FROM edges e JOIN cc ON e.dst = cc.rid),"
+        " lab AS (SELECT rid, min(label) AS cluster_id FROM cc GROUP BY rid),"
+        # M10 election, no source preferences -> abstract/DOI cascade
+        " el AS (SELECT lab.rid, lab.cluster_id,"
+        "  CASE WHEN f.abstract_text IS NOT NULL THEN 1 ELSE 0 END AS ab,"
+        "  CASE WHEN f.abstract_text IS NOT NULL AND f.doi IS NOT NULL"
+        "   AND f.doi <> '' THEN 1 ELSE 0 END AS abdoi"
+        "  FROM lab JOIN f ON lab.rid = f.rid),"
+        " w AS (SELECT *, sum(ab) OVER (PARTITION BY cluster_id) AS n_abs"
+        "  FROM el),"
+        " sc AS (SELECT *, CASE WHEN n_abs = 0 THEN 0"
+        "  WHEN n_abs = 1 THEN 1 - ab"
+        "  WHEN abdoi = 1 THEN 0 WHEN ab = 1 THEN 1 ELSE 2 END AS sort_class"
+        "  FROM w)"
+        " SELECT rid, cluster_id, (row_number() OVER (PARTITION BY cluster_id"
+        "  ORDER BY sort_class ASC, rid ASC) = 1)::INT AS is_unique FROM sc"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1029,12 +1160,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # source-code clone pipeline over the input_hint table
         "code_exact_dup_groups": _q_code_exact_dup_groups,
         "code_norm_dup_groups": _q_code_norm_dup_groups,
+        "code_norm_lexed_groups": _q_code_norm_lexed_groups,
         "code_minhash_pairs": _q_code_minhash_pairs,
         "code_dup_clusters": _q_code_dup_clusters,
-        # non-SQL-expressible (rows-only checks)
+        # flagship e2e: raw payloads -> clusters, full-pipeline SQL replay
+        "citation_clusters": _q_citation_clusters,
+        # non-SQL-expressible (rows-only checks: binary media columns)
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
-        "citation_clusters": _q_citation_clusters,
     }
 
 

@@ -14,9 +14,12 @@ pipeline end-to-end from the raw file table.
 Tables (all keyed by ``rid`` = corpus row_id):
 - code_files.parquet — the raw input_hint table
   (row_id, repo, path, commit, lang, content)
-- code_ctoks.parquet — (rid, lang, ctoks): scope-local
-  identifier-canonicalized token stream (codedup.canonical_tokens_py over
-  codedup.normalize_code_py)
+- code_ctoks.parquet — (rid, lang, norm_hash, ctoks): md5 of the
+  lexer-grade string-literal-safe normalization (kernels/codelex.py — the
+  production type-1 key; a state machine, not SQL-expressible, so the
+  oracle reads the kernel-built hash the same way it reads bands) plus the
+  scope-local identifier-canonicalized token stream
+  (codedup.canonical_tokens_py over the same normalization)
 - code_bands.parquet — (rid, lang, bkey): banded MinHash LSH keys over the
   token-4-gram hash set at the contract config (192 perms, 48 bands of 4
   rows, seed 97), exploded
@@ -38,7 +41,7 @@ import os
 import shutil
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-CODE_FIXTURE_DIR = os.path.join(REPO_ROOT, ".oracle_fixture_code_v3")
+CODE_FIXTURE_DIR = os.path.join(REPO_ROOT, ".oracle_fixture_code_v4")
 CODE_FILES = os.path.join(CODE_FIXTURE_DIR, "code_files.parquet")
 CODE_CTOKS = os.path.join(CODE_FIXTURE_DIR, "code_ctoks.parquet")
 CODE_BANDS = os.path.join(CODE_FIXTURE_DIR, "code_bands.parquet")
@@ -62,7 +65,8 @@ def _build(tmp: str) -> None:
     )
     from biblib_spark.operators.codedup import (
         code_feature_rows,
-        normalize_code_py,
+        lexed_norm_rows,
+        norm_hash_py,
     )
 
     rows = []
@@ -100,14 +104,16 @@ def _build(tmp: str) -> None:
 
     rids = [r["row_id"] for r in rows]
     langs = [r["lang"] for r in rows]
-    ctoks, _grams, wfps, keys = code_feature_rows(
-        [normalize_code_py(r["content"]) for r in rows]
-    )
+    norms = lexed_norm_rows([r["content"] for r in rows], langs)
+    ctoks, _grams, wfps, keys = code_feature_rows(norms)
     pq.write_table(
         pa.table(
             {
                 "rid": pa.array(rids, pa.int64()),
                 "lang": pa.array(langs, pa.string()),
+                "norm_hash": pa.array(
+                    [norm_hash_py(n) for n in norms], pa.string()
+                ),
                 "ctoks": pa.array(ctoks, pa.string()),
             }
         ),

@@ -156,12 +156,17 @@ class ExternalLoadMeter:
     last_steal_cores: float = 0.0
     last_outside_pinned_cores: float = 0.0
     last_own_cores: float = 0.0
+    last_ballast_cores: float = 0.0
 
     def __init__(
-        self, pinned_cores: int | None = None, poll_s: float | None = None
+        self,
+        pinned_cores: int | None = None,
+        poll_s: float | None = None,
+        ballast_pids: frozenset[int] | None = None,
     ) -> None:
         self._pinned = pinned_cores
         self._root = os.getpid()
+        self._ballast_pids = ballast_pids or frozenset()
         if poll_s is not None:
             self.POLL_S = poll_s
 
@@ -171,10 +176,19 @@ class ExternalLoadMeter:
             prev = self._seen.get(pid)
             if prev is None:
                 # forked after the window opened: whole life is in-window
-                self._acc += ticks
+                inc = ticks
             elif ticks > prev:
-                self._acc += ticks - prev
-            # ticks < prev would mean PID reuse; treat as no increment
+                inc = ticks - prev
+            else:
+                # ticks < prev would mean PID reuse; treat as no increment
+                inc = 0
+            self._acc += inc
+            if pid in self._ballast_pids:
+                # frequency-pinning ballast (scripts/ballast.py): own load by
+                # accounting (it is our child), but tracked separately so the
+                # outside-pinned neighbor signal can exclude it — ballast is
+                # pinned outside the taskset range by construction
+                self._ballast_acc += inc
         self._seen = dict(now)
 
     def _poll_loop(self) -> None:
@@ -193,6 +207,7 @@ class ExternalLoadMeter:
         # baseline: CPU burned before the window is not this window's own
         self._seen = subtree_own_ticks(self._root)
         self._acc = 0
+        self._ballast_acc = 0
         self._stop_evt = threading.Event()
         self._thread = threading.Thread(target=self._poll_loop, daemon=True)
         self._thread.start()
@@ -212,6 +227,7 @@ class ExternalLoadMeter:
         own = self._acc / _HZ + (init_reaped_seconds() - self._init0)
         self.last_steal_cores = max(steal / wall, 0.0)
         self.last_own_cores = own / wall
+        self.last_ballast_cores = self._ballast_acc / _HZ / wall
         if self._percpu0 is not None:
             now = percpu_busy_seconds()
             outside = sum(
@@ -219,5 +235,9 @@ class ExternalLoadMeter:
                 for c in now
                 if c >= self._pinned and c in self._percpu0
             )
-            self.last_outside_pinned_cores = max(outside / wall, 0.0)
+            # ballast runs SCHED_IDLE on the complement cores: any real
+            # neighbor there preempts it, so neighbors = outside - ballast
+            self.last_outside_pinned_cores = max(
+                (outside - self._ballast_acc / _HZ) / wall, 0.0
+            )
         return max((busy - own) / wall, 0.0)

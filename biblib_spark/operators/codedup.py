@@ -10,7 +10,12 @@ code-shaped tiers — the classic clone-type ladder:
   million-file boilerplate group produces a million edges, never a
   collect_list or a pair explosion).
 - tier N  (normalized): md5 of comment-stripped whitespace-collapsed text —
-  type-1 clones. Same linear star shape. Pure JVM regexp.
+  type-1 clones. Same linear star shape. Normalization is the lexer-grade
+  string/comment state machine (kernels/codelex.py — string literals kept
+  verbatim, so a ``"http://…"`` URL or a ``# inside a string`` never
+  corrupts the hash), run inside the one-pass Arrow feature UDF; the JVM
+  regexp twin (:func:`normalize_code_col`) remains as the
+  engine-independent oracle check.
 - tier M  (MinHash-LSH): MinHash over the TOKEN-4-GRAM hash set of the
   **identifier-canonicalized** token stream (type-2 clones rename every
   identifier, so shingles must be computed after alpha-rename
@@ -64,6 +69,7 @@ from biblib_spark.functions.minhash import (
     _perm_params,
     band_keys_from_hash_arrays,
 )
+from biblib_spark.kernels.codelex import normalize_code_lexed
 from biblib_spark.operators.candidates import self_join_pairs
 from biblib_spark.operators.components import assign_clusters
 
@@ -103,14 +109,15 @@ _TOKEN_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*|[0-9]+|[^A-Za-z0-9_\s]")
 
 
 def normalize_code_col(content: Column) -> Column:
-    """Comment-strip + whitespace-collapse, entirely JVM-side.
+    """Comment-strip + whitespace-collapse, entirely JVM-side (regex twin).
 
     Strips ``/* */`` block comments, ``//`` and ``#`` line comments, then
-    collapses all whitespace runs to single spaces. Language-agnostic on
-    purpose: ``#`` only ever starts a comment in the corpus languages where
-    it appears, and string literals in the synthetic corpus never contain
-    comment markers (documented limitation — a lexer-grade normalizer is a
-    per-lang pandas UDF swap behind this same column contract).
+    collapses all whitespace runs to single spaces. Language-agnostic and
+    NOT string-literal safe — kept as the engine-independent oracle check
+    (`code_norm_dup_groups` replays this exact chain in DuckDB RE2) and as
+    the fast path where content is known marker-free. The production
+    pipeline (:func:`code_features`) normalizes with the lexer-grade
+    string/comment scanner instead (kernels/codelex.py).
     """
     c = F.regexp_replace(content, r"(?s)/\*.*?\*/", " ")
     c = F.regexp_replace(c, r"//[^\n]*", " ")
@@ -275,20 +282,40 @@ def code_feature_rows(
     return ctoks, grams, wfps, bkeys
 
 
+def lexed_norm_rows(contents: list[str], langs: list[str]) -> list[str]:
+    """Batch of string-literal-safe normalizations (kernels/codelex.py) —
+    the production type-1 text. Shared by the Arrow UDF, the fixture
+    builder and tests."""
+    return [
+        normalize_code_lexed(c if isinstance(c, str) else "", lg)
+        for c, lg in zip(contents, langs)
+    ]
+
+
+def norm_hash_py(norm: str) -> str:
+    """md5 hex of the normalized text (same value contract as JVM
+    ``F.md5``: digest over UTF-8 bytes)."""
+    return hashlib.md5(norm.encode("utf-8")).hexdigest()
+
+
 _FEATURE_STRUCT = (
-    "ctoks string, grams array<long>, wfps array<long>, bkeys array<long>"
+    "norm_hash string, ctoks string,"
+    " grams array<long>, wfps array<long>, bkeys array<long>"
 )
 
 
 def _feature_udf():
     """Arrow-batched feature kernel (built lazily — pandas_udf registration
-    needs an active session)."""
+    needs an active session). Normalization (lexer state machine), token
+    canonicalization and all hashing happen in this one pass."""
 
     @pandas_udf(_FEATURE_STRUCT)
-    def feats(norm: pd.Series) -> pd.DataFrame:
-        ctoks, grams, wfps, bkeys = code_feature_rows(norm.tolist())
+    def feats(content: pd.Series, lang: pd.Series) -> pd.DataFrame:
+        norms = lexed_norm_rows(content.tolist(), lang.tolist())
+        ctoks, grams, wfps, bkeys = code_feature_rows(norms)
         return pd.DataFrame(
             {
+                "norm_hash": [norm_hash_py(n) for n in norms],
                 "ctoks": ctoks,
                 "grams": [g.astype(np.int64) for g in grams],
                 "wfps": [w.astype(np.int64) for w in wfps],
@@ -302,21 +329,20 @@ def _feature_udf():
 def code_features(files: DataFrame) -> DataFrame:
     """One scan: (rid, lang, sha, norm_hash, ctoks, grams, wfps, bkeys).
 
-    ``sha`` is the input_hint per-row invariant (sha256 of raw content);
-    ``norm_hash`` keys the type-1 tier; ``grams``/``wfps``/``bkeys`` feed
-    the three similarity tiers — computed ONCE here so no tier ever
-    re-tokenizes or re-hashes (the round-2 verdict's compute-once
-    discipline, M3 at code granularity).
+    ``sha`` is the input_hint per-row invariant (sha256 of raw content,
+    JVM-side); ``norm_hash`` keys the type-1 tier (md5 of the lexer-grade
+    string-literal-safe normalization — kernels/codelex.py);
+    ``grams``/``wfps``/``bkeys`` feed the three similarity tiers — computed
+    ONCE here so no tier ever re-tokenizes or re-hashes (the round-2
+    verdict's compute-once discipline, M3 at code granularity).
     """
-    norm = normalize_code_col(F.col("content"))
     return files.select(
         F.col("row_id").alias("rid"),
         "lang",
         F.sha2(F.col("content"), 256).alias("sha"),
-        F.md5(norm).alias("norm_hash"),
-        _feature_udf()(norm).alias("f"),
+        _feature_udf()(F.col("content"), F.col("lang")).alias("f"),
     ).select(
-        "rid", "lang", "sha", "norm_hash",
+        "rid", "lang", "sha", "f.norm_hash",
         "f.ctoks", "f.grams", "f.wfps", "f.bkeys",
     )
 

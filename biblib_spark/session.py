@@ -93,4 +93,13 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_PERIODIC_GC", "60s"),
         )
     )
+    # stage-profile capture (scripts/stage_profile.py reads these): event
+    # logs carry per-stage submit/complete times, task counts and task-time
+    # sums — the ground truth for "which stages are core-count-independent"
+    evlog = os.environ.get("SPARK_GRAFT_EVENTLOG_DIR")
+    if evlog:
+        os.makedirs(evlog, exist_ok=True)
+        builder = builder.config("spark.eventLog.enabled", "true").config(
+            "spark.eventLog.dir", evlog
+        )
     return builder.getOrCreate()

@@ -3,6 +3,12 @@
 Usage: python scripts/cluster_job.py <cores> <num_payloads> [seed] [repeats]
 Prints one JSON line {"records": N, "seconds": S, "cores": C, "runs": [...]}.
 
+Frequency discipline: a level pinned below the machine's core count runs
+with SCHED_IDLE ballast on the complement cores (scripts/ballast.py) so the
+host's all-core frequency state matches the full-width level — the faithful
+single-box analog of N-vs-4N executors on machines whose clocks are
+independent. Disable with SPARK_GRAFT_BALLAST=0.
+
 Warmup discipline: the first execution of each distinct physical plan pays
 10-30s of codegen + C2 JIT, and AQE picks DIFFERENT plans (broadcast vs
 shuffled joins, coalesced partition counts) at different input sizes — so the
@@ -78,13 +84,42 @@ def main() -> None:
 
     from biblib_spark.hostload import ExternalLoadMeter
 
-    meter = ExternalLoadMeter(pinned_cores=cores if cores < os.cpu_count() else None)
+    # Frequency-pinning ballast (scripts/ballast.py): on this single box a
+    # level pinned to cores [0, N) with N < cpu_count leaves the complement
+    # idle, the host package clocks the busy cores UP (~30% per-core,
+    # scripts/ballast_probe.py), and the small level measures on hardware
+    # the big level never gets — a single-box artifact a real N-vs-4N
+    # cluster (separate machines, independent frequency) does not have.
+    # SCHED_IDLE pure-ALU spinners on the complement pin the package to its
+    # all-core frequency state for both levels; their CPU is accounted as
+    # own load and excluded from the outside-pinned neighbor signal.
+    import contextlib
+
+    from scripts.ballast import ballast_on, complement_of
+
+    use_ballast = (
+        os.environ.get("SPARK_GRAFT_BALLAST", "1") != "0"
+        and cores < (os.cpu_count() or cores)
+    )
+    stack = contextlib.ExitStack()
+    ballast_pids: frozenset[int] = frozenset()
+    ballast_cores: list[int] = []
+    if use_ballast:
+        ballast_cores = complement_of(range(cores))
+        procs = stack.enter_context(ballast_on(ballast_cores))
+        ballast_pids = frozenset(p.pid for p in procs if p.pid)
+
+    meter = ExternalLoadMeter(
+        pinned_cores=cores if cores < os.cpu_count() else None,
+        ballast_pids=ballast_pids,
+    )
     runs = []
     loads = []
     ext_loads = []
     steals = []
     outside = []
     utils = []
+    ballast_utils = []
     n = 0
     for _ in range(repeats):
         meter.start()
@@ -100,7 +135,9 @@ def main() -> None:
         ext_loads.append(round(meter.stop(), 2))
         steals.append(round(meter.last_steal_cores, 2))
         outside.append(round(meter.last_outside_pinned_cores, 2))
-        utils.append(round(meter.last_own_cores, 1))
+        # own-job cores excluding the ballast's (accounting-own) spin
+        utils.append(round(meter.last_own_cores - meter.last_ballast_cores, 1))
+        ballast_utils.append(round(meter.last_ballast_cores, 1))
         loads.append(round(os.getloadavg()[0], 1))
         # each run materializes its features (parquet spill) and CC labels
         # (checkpoint blocks); drop both between repeats or the accumulation
@@ -110,6 +147,7 @@ def main() -> None:
         cleanup_all()
         for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
             rdd.unpersist()
+    stack.close()
     spark.stop()
     best = min(range(len(runs)), key=lambda i: runs[i])
     print(
@@ -125,6 +163,11 @@ def main() -> None:
                 "steal_cores_during_runs": steals,
                 "outside_pinned_cores_during_runs": outside,
                 "own_cores_during_runs": utils,
+                "ballast": {
+                    "enabled": use_ballast,
+                    "cores": ballast_cores,
+                    "cores_during_runs": ballast_utils,
+                },
             }
         )
     )
