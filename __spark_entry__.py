@@ -294,9 +294,13 @@ def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: synthetic binary media -> features + exact-dup
-    groups (decode stubbed deterministically; see operators/multimodal.py).
-    Rows-only check (binary columns are not DuckDB-view material)."""
+    """Multimodal: synthetic binary media (real PNG/WAV blobs) -> REAL
+    decode features (dimensions, luminance, RMS, zero-crossing rate —
+    kernels/media.py pure-numpy codecs) + exact-dup groups. Oracle: the
+    fixture persists the same kernel's per-item features
+    (fixtures.ensure_media_fixture); DuckDB replays the dup grouping/join
+    independently over content_crc. Embeddings stay pytest-covered (float
+    arrays hash engine-dependently)."""
     from biblib_spark.operators.multimodal import (
         extract_media_features,
         make_synthetic_media,
@@ -310,7 +314,11 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         dups.select(F.col("rep_id").alias("media_id"), "n_copies"),
         "media_id",
         "left",
-    ).select("media_id", "kind", "n_bytes", "content_crc", "n_copies")
+    ).select(
+        "media_id", "kind", "n_bytes", "content_crc", "width", "height",
+        "duration_ms", "mean_luma", "rms", "zcr",
+        F.col("decoded").cast("int").alias("decoded"), "n_copies",
+    )
 
 
 def _q_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1165,9 +1173,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_dup_clusters": _q_code_dup_clusters,
         # flagship e2e: raw payloads -> clusters, full-pipeline SQL replay
         "citation_clusters": _q_citation_clusters,
-        # non-SQL-expressible (rows-only checks: binary media columns)
+        # multimodal: real PNG/WAV decode, fixture-replayed oracle
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
+    }
+
+
+def _media_oracles() -> dict[str, str]:
+    """Media-entry oracles over the kernel-built feature fixture
+    (fixtures.ensure_media_fixture — same codefixtures.py pattern): the
+    per-item decode features come from the SAME pure-numpy kernel the Arrow
+    UDF runs (persisted pure-Python, no Spark); the exact-dup grouping
+    (media_dedup_exact's n_copies on the representative) and the
+    frame-sampling explode are re-implemented independently in SQL."""
+    from biblib_spark.fixtures import MEDIA_FEATURES, ensure_media_fixture
+
+    ensure_media_fixture()
+    return {
+        "media_features": (
+            "WITH g AS (SELECT *,"
+            "  count(*) OVER (PARTITION BY content_crc) AS grp_n,"
+            "  min(media_id) OVER (PARTITION BY content_crc) AS grp_rep"
+            f" FROM read_parquet('{MEDIA_FEATURES}'))"
+            " SELECT media_id, kind, n_bytes, content_crc, width, height,"
+            "  duration_ms, mean_luma, rms, zcr, CAST(decoded AS INT) AS decoded,"
+            "  CASE WHEN grp_n > 1 AND media_id = grp_rep THEN grp_n END"
+            "   AS n_copies"
+            " FROM g"
+        ),
+        "media_frames": (
+            "SELECT media_id, f.frame_idx AS frame_idx,"
+            "  f.frame_idx * 500 AS ts_ms"
+            f" FROM read_parquet('{MEDIA_FEATURES}')"
+            " CROSS JOIN LATERAL unnest(generate_series(0,"
+            "   CAST(floor(meta_duration_ms / 500.0) AS INT))) AS f(frame_idx)"
+            " WHERE kind = 'video' AND media_id < 120"
+        ),
     }
 
 
@@ -1176,6 +1217,7 @@ def oracle_sql() -> dict[str, str]:
         **_cite_oracles(),
         **_doc_oracles(),
         **_code_oracles(),
+        **_media_oracles(),
         "exact_dedup": (
             "SELECT md5(text) AS text_hash, count(*) AS n_docs,"
             " min(doc_id) AS rep_id FROM documents GROUP BY md5(text)"

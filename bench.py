@@ -7,15 +7,19 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
 Scaling protocol (BASELINE.json north_rule, sandbox form): the same
 clustering job on the same input at N and 4N local cores, each measurement
 in its own cold process (scripts/cluster_job.py) pinned with taskset, with a
-same-plan-shape warmup prefix and best-of-R in-process repeats (the first
-1-2 repeats pay C2 JIT — measured plateau at the 3rd). Each run records the
-EXTERNAL contention it saw (machine busy cores minus this process tree's own
-cores — loadavg can't separate the two); a level whose best sample ran under
-external load > EXT_GATE cores is re-run (bounded retries) instead of being
-reported contended. The same window's hardware ceiling is recorded alongside
-(scripts/cpu_probe.py: pinned multiprocessing of a pure-CPU kernel shows
-this host delivers 8->32 cores at ~0.78 efficiency — host-side all-core
-frequency scaling, invisible to the guest, zero steal). efficiency =
+same-plan-shape warmup prefix and SYMMETRIC best-of-3 in-process repeats at
+both levels (the first 1-2 repeats pay C2 JIT — measured plateau at the
+3rd). The small level runs under SCHED_IDLE ballast on the complement cores
+(scripts/ballast.py): with 8 of 32 cores busy the host boosts clocks ~1.55x
+(ballast_probe.py), so an unballasted small level measures on hardware the
+big level never gets. Each run records the EXTERNAL contention it saw
+(machine busy cores minus this process tree's own cores — loadavg can't
+separate the two); a level whose best sample ran under external load >
+EXT_GATE cores is re-run (bounded retries) instead of being reported
+contended. The same window's hardware ceilings are recorded alongside
+(scripts/ballast_probe.py ALU plain/ballast, scripts/mem_probe.py DRAM
+bandwidth — the binding one for this shuffle-heavy job; per-stage evidence
+in bench_runs/r04/stage_metrics_8c_32c.json). efficiency =
 (thr_4N / thr_N) / 4. Set SPARK_GRAFT_SCALING=0 to skip,
 SPARK_GRAFT_SCALE_ROUNDS for per-level process count (default 1 each; the
 load gate re-runs a contended level), SPARK_GRAFT_SCALE_PAYLOADS for the
@@ -86,12 +90,39 @@ def _best(rs: list[dict]) -> dict:
     return min(quiet or rs, key=lambda r: r["seconds"])
 
 
-def _cpu_probe() -> dict:
+def _probe(script: str, *args: str) -> dict:
     out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "scripts", "cpu_probe.py")],
+        [sys.executable, os.path.join(REPO, "scripts", script), *args],
         capture_output=True, text=True, check=True,
     )
     return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def _host_ceilings() -> dict:
+    """Same-window hardware ceilings for the 8->32 comparison, one per
+    contended resource (the job's per-stage event-log decomposition —
+    bench_runs/r04/stage_metrics_8c_32c.json — shows which stages hit
+    which):
+
+    - ALU/frequency (scripts/ballast_probe.py): pure-CPU pinned
+      multiprocessing, plain AND under the SCHED_IDLE ballast the scaling
+      levels run with. Under ballast the frequency artifact is gone and
+      this ceiling reads ~1.0.
+    - DRAM bandwidth (scripts/mem_probe.py): STREAM-triad workers beyond
+      L3 — the ceiling the shuffle/spill/join stages are bounded by on a
+      single box; on a real N->4N EXECUTOR cluster the memory channels
+      scale with executors and this ceiling does not apply.
+    """
+    alu = _probe("ballast_probe.py", "2")
+    bw = _probe("mem_probe.py", "64", "2")
+    return {
+        "alu_ceiling_plain": alu["ceiling_plain"],
+        "alu_ceiling_ballast": alu["ceiling_ballast"],
+        "ballast_slowdown_8c": alu["ballast_slowdown_8c"],
+        "bandwidth_ceiling": bw["bandwidth_ceiling_8_to_32"],
+        "bandwidth_gbps_8w": bw["gbps_8workers_ballast"],
+        "bandwidth_gbps_32w": bw["gbps_32workers"],
+    }
 
 
 def main() -> None:
@@ -104,18 +135,20 @@ def main() -> None:
     scale_rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "1"))
     do_scaling = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
 
-    # same-window hardware ceiling FIRST (quiet-box reference for the
+    # same-window hardware ceilings FIRST (quiet-box reference for the
     # efficiency number that follows)
-    probe = _cpu_probe() if do_scaling else None
+    probe = _host_ceilings() if do_scaling else None
 
-    # repeat counts budget the whole scaling block to ~75 min at the 4M
-    # default: big runs plateau by repeat 3 (measured [615,440,413,424] —
-    # repeat 4 did not improve), and the small level's ~25-min runs carry a
-    # negligible JIT fraction after the warmup prefix, so 2 suffice
+    # SYMMETRIC repeat budgets (round-3 advice: asymmetric repeats bias the
+    # best-of ratio): both levels get 3 in-process repeats after the same
+    # warmup prefix — the big level plateaus by repeat 3 (measured
+    # [615,440,413,424]); giving the small level the same budget removes
+    # the flattery of comparing its repeat-2 against the big level's
+    # repeat-3
     big_runs = _level_runs(CPUS, procs=max(1, scale_rounds), repeats=3)
     small_runs: list[dict] = []
     if do_scaling:
-        small_runs = _level_runs(small_cores, procs=1, repeats=2)
+        small_runs = _level_runs(small_cores, procs=1, repeats=3)
 
     big = _best(big_runs)
     queries["parse_dedupe_cluster"] = big["seconds"]
@@ -206,7 +239,13 @@ def main() -> None:
         small = _best(small_runs)
         thr_small = small["records"] / small["seconds"]
         eff = round((thr_big / thr_small) / (CPUS / small_cores), 3)
-        ceiling = probe["efficiency_8_to_32"] if probe else None
+        # the binding same-window ceiling: under ballast the ALU/frequency
+        # ceiling is ~1.0, so the bandwidth ceiling binds this
+        # shuffle/join-heavy job (per-stage evidence:
+        # bench_runs/r04/stage_metrics_8c_32c.json — python parse stages
+        # show ~1.0x cross-core CPU-time parity, JVM shuffle stages inflate
+        # 1.5-2.8x at 32c, the bandwidth/L3 signature)
+        ceiling = probe["bandwidth_ceiling"] if probe else None
         scaling = {
             "cores_small": small_cores,
             "cores_big": CPUS,
@@ -235,9 +274,14 @@ def main() -> None:
             "throughput_small_rps": round(thr_small, 1),
             "throughput_big_rps": round(thr_big, 1),
             "efficiency": eff,
-            # same-window pure-CPU hardware ceiling for this 8->32 comparison
-            # (pinned multiprocessing, no Spark, no shuffles): host all-core
-            # frequency scaling bounds ANY workload's measurable efficiency
+            # same-window hardware ceilings (pinned multiprocessing, no
+            # Spark): ALU/frequency plain + under-ballast, and DRAM
+            # bandwidth (STREAM triad). The BANDWIDTH ceiling binds this
+            # shuffle-heavy job on a single box — it is the recorded
+            # host_ceiling_efficiency; a real N->4N executor cluster
+            # multiplies memory channels with executors, so it is a
+            # sandbox artifact, not a property of the plan
+            "host_probes": probe,
             "host_ceiling_efficiency": ceiling,
             "efficiency_vs_host_ceiling": (
                 round(eff / ceiling, 3) if ceiling else None

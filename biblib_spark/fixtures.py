@@ -302,6 +302,76 @@ def ensure_e2e_fixture() -> str:
     return E2E_DIR
 
 
+# --- media fixture (media_features oracle) ---------------------------------
+# The real PNG/WAV decode (kernels/media.py) makes the feature rows numeric,
+# so the formerly rows-only media entry becomes oracle-checkable: the fixture
+# persists one row per item of the contract's 300-item corpus, built
+# pure-Python by the SAME kernel the Arrow UDF runs; DuckDB then replays the
+# exact-dup grouping/join (media_dedup_exact's n_copies) independently in
+# SQL over content_crc. Embeddings stay out of the contract row (float
+# arrays hash engine-dependently); they are pytest-covered instead.
+MEDIA_DIR = os.path.join(REPO_ROOT, ".oracle_fixture_media_v1")
+MEDIA_FEATURES = os.path.join(MEDIA_DIR, "features.parquet")
+MEDIA_N, MEDIA_SEED = 300, 42
+
+
+def _build_media(tmp: str) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from biblib_spark.kernels.media import media_feature_row, synth_media_row
+
+    rows = []
+    for i in range(MEDIA_N):
+        item = synth_media_row(i, MEDIA_SEED)
+        f = media_feature_row(item["kind"], item["data"])
+        f["media_id"] = i
+        f["kind"] = item["kind"]
+        # duration_ms above is DECODE-derived (null for video, which has no
+        # parser); the table-metadata duration drives frame_sample_plan, so
+        # the frames oracle needs it as its own column
+        f["meta_duration_ms"] = item["duration_ms"]
+        f.pop("embedding")
+        rows.append(f)
+    schema = pa.schema(
+        [
+            ("media_id", pa.int64()),
+            ("kind", pa.string()),
+            ("n_bytes", pa.int64()),
+            ("content_crc", pa.int64()),
+            ("width", pa.int32()),
+            ("height", pa.int32()),
+            ("duration_ms", pa.int32()),
+            ("mean_luma", pa.float64()),
+            ("rms", pa.float64()),
+            ("zcr", pa.float64()),
+            ("decoded", pa.bool_()),
+            ("meta_duration_ms", pa.int32()),
+        ]
+    )
+    pq.write_table(
+        pa.table(
+            {f.name: pa.array([r[f.name] for r in rows], f.type) for f in schema},
+            schema=schema,
+        ),
+        os.path.join(tmp, "features.parquet"),
+    )
+
+
+def ensure_media_fixture() -> str:
+    """Build the media feature fixture parquet if missing."""
+    if os.path.isdir(MEDIA_DIR):
+        return MEDIA_DIR
+    tmp = f"{MEDIA_DIR}.tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    _build_media(tmp)
+    try:
+        os.rename(tmp, MEDIA_DIR)
+    except OSError:  # lost the race; the other builder's copy is identical
+        shutil.rmtree(tmp, ignore_errors=True)
+    return MEDIA_DIR
+
+
 def ensure_oracle_fixture() -> str:
     """Build the fixture parquet files if missing; returns FIXTURE_DIR."""
     if os.path.isdir(FIXTURE_DIR):

@@ -2,33 +2,40 @@
 
 A 100 TB training-data pipeline treats media as ``binary`` columns with a
 metadata struct; decode/feature-extraction runs as Arrow-batched
-``mapInPandas``. The image/audio codec libraries are NOT in this container,
-so the decode step is a clearly-marked deterministic FAKE (seeded from the
-content hash) behind the same UDF signature and batch shape the real decoder
-would use — the Spark-side plumbing (schema, partitioning, batch iteration)
-is real and tested. Swap ``_fake_decode`` for a PIL/ffmpeg call on a real
-cluster.
+``mapInPandas``. The decode is REAL for PNG and WAV — a pure numpy + stdlib
+zlib codec (kernels/media.py), no PIL/ffmpeg needed — and an honestly
+labeled deterministic fake only for kinds with no in-container parser
+(video/mp4): those items get ``decoded = false`` and a content-hash
+embedding. Swapping in PIL/ffmpeg on a real cluster replaces one kernel
+function behind the same UDF signature and batch shape.
+
+Feature rows are DuckDB-oracle-checked against a fixture built by the SAME
+kernel (fixtures.ensure_media_fixture — the codefixtures.py pattern), so
+the Spark plumbing is verified end-to-end, not rows-only.
 """
 
 from __future__ import annotations
 
-import hashlib
-import zlib
 from collections.abc import Iterator
 
-import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
-    FloatType,
+    BooleanType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
     StructField,
     StructType,
+)
+
+from biblib_spark.kernels.media import (
+    media_feature_row,
+    synth_media_row,
 )
 
 MEDIA_SCHEMA = StructType(
@@ -49,50 +56,40 @@ FEATURE_SCHEMA = StructType(
         StructField("kind", StringType()),
         StructField("n_bytes", LongType()),
         StructField("content_crc", LongType()),
-        StructField("embedding", ArrayType(FloatType())),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("duration_ms", IntegerType()),
+        StructField("mean_luma", DoubleType()),
+        StructField("rms", DoubleType()),
+        StructField("zcr", DoubleType()),
+        StructField("decoded", BooleanType()),
+        StructField("embedding", ArrayType(DoubleType())),
     ]
 )
 
-
-def _fake_decode(data: bytes, dim: int) -> np.ndarray:
-    """Deterministic stand-in for a real decoder+encoder: a unit-norm vector
-    seeded from the content bytes. Identical bytes -> identical embedding, so
-    dedup-by-embedding behaves like a real perceptual hash for exact copies.
-    """
-    h = hashlib.sha256(data).digest()
-    raw = np.frombuffer(
-        b"".join(hashlib.sha256(h + bytes([i])).digest() for i in range(dim // 8 + 1)),
-        dtype=np.uint8,
-    )[: dim * 2]
-    vec = raw.astype(np.float32).reshape(dim, 2).sum(axis=1) - 255.0
-    n = np.linalg.norm(vec)
-    return vec / n if n > 0 else vec
+_FEATURE_COLS = [f.name for f in FEATURE_SCHEMA.fields]
 
 
-def extract_media_features(media: DataFrame, dim: int = 32) -> DataFrame:
+def extract_media_features(media: DataFrame, dim: int = 64) -> DataFrame:
     """Media table -> per-item features via one Arrow-batched pass.
 
-    On a real cluster the inner loop calls the codec; everything around it
-    (column pruning to (media_id, kind, data), Arrow batching, output schema)
-    is exactly what production would run.
+    PNG and WAV items are genuinely decoded (dimensions, luminance, RMS,
+    zero-crossing rate, a centered perceptual embedding — kernels/media.py);
+    undecodable items fall back to the labeled content-hash embedding with
+    ``decoded = false``. Column pruning to (media_id, kind, data) keeps the
+    scan narrow; the blob never leaves the executor.
     """
 
     def _fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {
-                "media_id": [], "kind": [], "n_bytes": [],
-                "content_crc": [], "embedding": [],
-            }
+            rows = []
             for mid, kind, data in zip(pdf["media_id"], pdf["kind"], pdf["data"]):
                 blob = bytes(data) if data is not None else b""
-                out["media_id"].append(int(mid))
-                out["kind"].append(kind)
-                out["n_bytes"].append(len(blob))
-                out["content_crc"].append(zlib.crc32(blob))
-                out["embedding"].append(
-                    [float(x) for x in _fake_decode(blob, dim)]
-                )
-            yield pd.DataFrame(out)
+                feats = media_feature_row(kind, blob)
+                feats["media_id"] = int(mid)
+                feats["kind"] = kind
+                rows.append(feats)
+            yield pd.DataFrame(rows, columns=_FEATURE_COLS)
 
     return media.select("media_id", "kind", "data").mapInPandas(
         _fn, schema=FEATURE_SCHEMA
@@ -127,29 +124,14 @@ def frame_sample_plan(video: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 def make_synthetic_media(spark, n: int, seed: int = 42) -> DataFrame:
     """Deterministic media table with exact-duplicate structure (every third
-    item repeats the blob of i - i % 3)."""
+    item repeats the blob of i - i % 3). Image blobs are real PNGs, audio
+    real WAVs (kernels/media.py synthesis — shared with the oracle fixture
+    builder); video is an opaque deterministic blob."""
 
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        kinds = ["image", "audio", "video"]
-        mimes = {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}
         for pdf in batches:
-            rows = []
-            for i in pdf["id"]:
-                i = int(i)
-                base = i - (i % 3) if i % 3 == 2 else i  # every 3rd is a copy
-                kind = kinds[(base // 3) % 3]
-                blob = hashlib.sha256(f"media|{seed}|{base}".encode()).digest() * 8
-                rows.append(
-                    {
-                        "media_id": i,
-                        "kind": kind,
-                        "mime": mimes[kind],
-                        "data": blob,
-                        "width": 64 + base % 512 if kind == "image" else None,
-                        "height": 64 + base % 256 if kind == "image" else None,
-                        "duration_ms": 3000 + base % 9000 if kind != "image" else None,
-                    }
-                )
-            yield pd.DataFrame(rows)
+            yield pd.DataFrame(
+                [synth_media_row(int(i), seed) for i in pdf["id"]]
+            )
 
     return spark.range(0, n).mapInPandas(_gen, schema=MEDIA_SCHEMA)

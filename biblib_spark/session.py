@@ -92,6 +92,13 @@ def get_spark(
             "spark.cleaner.periodicGC.interval",
             os.environ.get("SPARK_GRAFT_PERIODIC_GC", "60s"),
         )
+        # shuffle/spill codec: on a memory-bandwidth-bound box (see
+        # scripts/mem_probe.py) a denser codec trades ALU for DRAM traffic —
+        # A/B knob; lz4 is the Spark default
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"),
+        )
     )
     # stage-profile capture (scripts/stage_profile.py reads these): event
     # logs carry per-stage submit/complete times, task counts and task-time

@@ -33,7 +33,10 @@ WARMUP_PAYLOADS = 30_000  # big enough that AQE keeps the shuffled-join plans
 def _corpus_path(spark, num_payloads: int, seed: int) -> str:
     from biblib_spark.corpus import make_corpus
 
-    path = f"/tmp/biblib_corpus_v5_{num_payloads}_{seed}.parquet"
+    # SPARK_GRAFT_CORPUS_DIR relocates the input (e.g. /dev/shm vs /tmp) for
+    # the page-cache-pressure A/B — same bytes, different backing store
+    base = os.environ.get("SPARK_GRAFT_CORPUS_DIR", "/tmp")
+    path = f"{base}/biblib_corpus_v5_{num_payloads}_{seed}.parquet"
     if not os.path.exists(path):
         make_corpus(spark, num_payloads, records_per_payload=6, seed=seed).write.mode(
             "overwrite"
@@ -68,8 +71,14 @@ def main() -> None:
         else int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
     )
 
-    from biblib_spark.operators.dedupe import dedupe_corpus
+    from biblib_spark.operators.dedupe import DedupConfig, dedupe_corpus
     from biblib_spark.session import get_spark
+
+    # A/B toggles (defaults match the shipped DedupConfig)
+    cfg = DedupConfig(
+        title_grouping=os.environ.get("SPARK_GRAFT_TITLE_GROUPING", "0") == "1",
+        salted_pairs=os.environ.get("SPARK_GRAFT_SALTED_PAIRS", "0") == "1",
+    )
 
     spark = get_spark(f"cluster_job_{cores}", cores=cores)
 
@@ -80,7 +89,7 @@ def main() -> None:
     _touch_pages(main_path)
     corpus = spark.read.parquet(main_path)
     warm = spark.read.parquet(_corpus_path(spark, WARMUP_PAYLOADS, seed))
-    dedupe_corpus(warm).count()
+    dedupe_corpus(warm, cfg).count()
 
     from biblib_spark.hostload import ExternalLoadMeter
 
@@ -124,7 +133,7 @@ def main() -> None:
     for _ in range(repeats):
         meter.start()
         t0 = time.time()
-        clusters = dedupe_corpus(corpus)
+        clusters = dedupe_corpus(corpus, cfg)
         n = clusters.count()
         el = time.time() - t0
         runs.append(round(el, 3))

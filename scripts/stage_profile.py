@@ -25,16 +25,28 @@ import sys
 
 
 def _iter_events(path: str):
-    if os.path.isdir(path):
-        files = sorted(
+    # Spark 4 rolling logs: <dir>/eventlog_v2_<app>/events_*_<app>[.zstd]
+    while os.path.isdir(path):
+        entries = sorted(
             (os.path.join(path, f) for f in os.listdir(path)
-             if not f.startswith(".")),
+             if not f.startswith(".") and not f.startswith("appstatus")),
             key=os.path.getmtime,
         )
-        if not files:
+        if not entries:
             raise SystemExit(f"no event logs in {path}")
-        path = files[-1]
-    with open(path, "r", encoding="utf-8", errors="replace") as fh:
+        path = entries[-1]
+
+    def _open(p):
+        if p.endswith(".zstd"):
+            import subprocess
+
+            proc = subprocess.Popen(
+                ["zstd", "-dc", p], stdout=subprocess.PIPE, text=True
+            )
+            return proc.stdout
+        return open(p, "r", encoding="utf-8", errors="replace")
+
+    with _open(path) as fh:
         for line in fh:
             line = line.strip()
             if line:
@@ -48,6 +60,7 @@ def profile(path: str, low_par_k: int = 8) -> dict:
     stages: dict[tuple[int, int], dict] = {}
     task_time: dict[tuple[int, int], float] = {}
     task_count: dict[tuple[int, int], int] = {}
+    extra: dict[tuple[int, int], dict] = {}
     app_start = app_end = None
     for ev in _iter_events(path):
         e = ev.get("Event", "")
@@ -75,12 +88,40 @@ def profile(path: str, low_par_k: int = 8) -> dict:
             if dur > 0:
                 task_time[si] = task_time.get(si, 0.0) + dur
                 task_count[si] = task_count.get(si, 0) + 1
+            m = ev.get("Task Metrics") or {}
+            agg = extra.setdefault(
+                si,
+                {"gc_s": 0.0, "mem_spill_b": 0, "disk_spill_b": 0,
+                 "shuf_read_b": 0, "shuf_write_b": 0, "cpu_s": 0.0,
+                 "deser_s": 0.0, "ser_s": 0.0},
+            )
+            agg["gc_s"] += m.get("JVM GC Time", 0) / 1000.0
+            agg["cpu_s"] += m.get("Executor CPU Time", 0) / 1e9
+            agg["deser_s"] += m.get("Executor Deserialize Time", 0) / 1000.0
+            agg["ser_s"] += m.get("Result Serialization Time", 0) / 1000.0
+            agg["mem_spill_b"] += m.get("Memory Bytes Spilled", 0)
+            agg["disk_spill_b"] += m.get("Disk Bytes Spilled", 0)
+            sr = m.get("Shuffle Read Metrics") or {}
+            agg["shuf_read_b"] += sr.get("Remote Bytes Read", 0) + sr.get(
+                "Local Bytes Read", 0
+            )
+            sw = m.get("Shuffle Write Metrics") or {}
+            agg["shuf_write_b"] += sw.get("Shuffle Bytes Written", 0)
 
     rows = []
     for key, s in stages.items():
         tt = task_time.get(key, 0.0)
         s["task_time_s"] = round(tt, 3)
         s["parallelism"] = round(tt / s["wall_s"], 2) if s["wall_s"] > 0 else 0.0
+        ex = extra.get(key)
+        if ex:
+            s["gc_s"] = round(ex["gc_s"], 3)
+            s["cpu_s"] = round(ex["cpu_s"], 3)
+            s["deser_s"] = round(ex["deser_s"], 3)
+            s["mem_spill_mb"] = round(ex["mem_spill_b"] / 1e6, 1)
+            s["disk_spill_mb"] = round(ex["disk_spill_b"] / 1e6, 1)
+            s["shuf_read_mb"] = round(ex["shuf_read_b"] / 1e6, 1)
+            s["shuf_write_mb"] = round(ex["shuf_write_b"] / 1e6, 1)
         rows.append(s)
     rows.sort(key=lambda r: r["submit"])
 

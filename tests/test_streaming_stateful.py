@@ -85,6 +85,42 @@ def test_merge_cluster_map_transitive(tmp_path):
     assert m[5] == 1 and m[9] == 1
 
 
+def test_cluster_map_paths_agree(spark, tmp_path):
+    """The distributed edge-log + CC map (production path) and the
+    driver-side union-find fold (small-delta alternative) assign identical
+    cluster ids — min rid of the component — on the same edge sequence,
+    including a transitive chain that spans batches."""
+    batches = [
+        pd.DataFrame({"rid": [5, 20], "match_rid": [1, 10], "jaccard": [1.0, 0.9]}),
+        pd.DataFrame({"rid": [9, 30], "match_rid": [5, 20], "jaccard": [0.9, 0.85]}),
+    ]
+    uf_path = str(tmp_path / "uf.parquet")
+    for b in batches:
+        merge_cluster_map(b, uf_path)
+    uf = dict(
+        pd.read_parquet(uf_path)[["rid", "cluster_id"]].itertuples(
+            index=False, name=None
+        )
+    )
+
+    from biblib_spark.streaming.stateful import rebuild_cluster_map
+
+    edge_log = str(tmp_path / "edges.parquet")
+    for b in batches:
+        spark.createDataFrame(b).write.mode("append").parquet(edge_log)
+    cc_path = str(tmp_path / "cc.parquet")
+    rebuild_cluster_map(spark, edge_log, cc_path)
+    cc = dict(
+        pd.read_parquet(cc_path)[["rid", "cluster_id"]].itertuples(
+            index=False, name=None
+        )
+    )
+    # CC maps every vertex (match_rid endpoints too); union-find only the
+    # arriving rids — compare on the union-find's domain
+    assert {r: cc[r] for r in uf} == uf
+    assert cc[9] == 1 and cc[30] == 10
+
+
 def test_grams_jaccard_edges():
     assert _jaccard(_grams(""), _grams("")) == 0.0
     assert _jaccard(_grams("ab"), _grams("ab")) == 1.0
