@@ -11,6 +11,10 @@ the measured window), its pages pre-touched, a same-plan-shape warmup run
 executes at a size big enough to take the big-input AQE plan branches, and
 the reported figure is best-of-N in-process repeats with the external-load
 meter recording what the rest of the machine was doing during each run.
+Round 4 adds the frequency-pinning ballast: a level pinned below the
+machine's core count runs with SCHED_IDLE spinners on the complement cores
+(scripts/ballast.py), so both levels measure at the all-core clock state.
+Disable with SPARK_GRAFT_BALLAST=0.
 """
 
 from __future__ import annotations
@@ -71,13 +75,32 @@ def main() -> None:
     warm = spark.read.parquet(_corpus_path(spark, WARMUP_ORIGINS, seed))
     code_dup_clusters(warm).count()
 
-    from biblib_spark.hostload import ExternalLoadMeter
+    import contextlib
 
-    meter = ExternalLoadMeter(pinned_cores=cores if cores < os.cpu_count() else None)
+    from biblib_spark.hostload import ExternalLoadMeter
+    from scripts.ballast import ballast_on, complement_of
+
+    use_ballast = (
+        os.environ.get("SPARK_GRAFT_BALLAST", "1") != "0"
+        and cores < (os.cpu_count() or cores)
+    )
+    stack = contextlib.ExitStack()
+    ballast_pids: frozenset[int] = frozenset()
+    ballast_cores: list[int] = []
+    if use_ballast:
+        ballast_cores = complement_of(range(cores))
+        procs = stack.enter_context(ballast_on(ballast_cores))
+        ballast_pids = frozenset(p.pid for p in procs if p.pid)
+
+    meter = ExternalLoadMeter(
+        pinned_cores=cores if cores < os.cpu_count() else None,
+        ballast_pids=ballast_pids,
+    )
     runs = []
     ext_loads = []
     steals = []
     utils = []
+    ballast_utils = []
     n = 0
     for _ in range(repeats):
         meter.start()
@@ -87,7 +110,8 @@ def main() -> None:
         runs.append(round(el, 3))
         ext_loads.append(round(meter.stop(), 2))
         steals.append(round(meter.last_steal_cores, 2))
-        utils.append(round(meter.last_own_cores, 1))
+        utils.append(round(meter.last_own_cores - meter.last_ballast_cores, 1))
+        ballast_utils.append(round(meter.last_ballast_cores, 1))
         # drop CC checkpoint blocks between repeats (same tmpfs discipline
         # as cluster_job.py)
         from biblib_spark.plans.spill import cleanup_all
@@ -95,6 +119,7 @@ def main() -> None:
         cleanup_all()
         for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
             rdd.unpersist()
+    stack.close()
     spark.stop()
     best = min(range(len(runs)), key=lambda i: runs[i])
     print(
@@ -108,6 +133,11 @@ def main() -> None:
                 "external_cores_best_run": ext_loads[best],
                 "steal_cores_during_runs": steals,
                 "own_cores_during_runs": utils,
+                "ballast": {
+                    "enabled": use_ballast,
+                    "cores": ballast_cores,
+                    "cores_during_runs": ballast_utils,
+                },
             }
         )
     )
