@@ -74,6 +74,18 @@ def main() -> None:
     from biblib_spark.operators.dedupe import DedupConfig, dedupe_corpus
     from biblib_spark.session import get_spark
 
+    # Local-dir placement is input-size-gated: the default all-tmpfs local
+    # dir is RAM, and at 10M payloads (25.5M records) the LIVE set of
+    # shuffle blocks + CC localCheckpoint blocks + feature spill peaked at
+    # 99.8 GB Shmem, driving host MemAvailable to 0.33 GB and killing the
+    # JVM mid-CC (bench_runs/r04/headroom25m_oom_memsample.jsonl). Spark
+    # round-robins blocks across a comma list, so tmpfs+disk halves RAM
+    # pressure at ~2x the still-unmeasured I/O cost — on a real cluster the
+    # local dir is per-executor NVMe and this tradeoff does not exist.
+    if "SPARK_LOCAL_DIRS" not in os.environ and num_payloads >= 6_000_000:
+        if os.path.isdir("/dev/shm"):
+            os.environ["SPARK_LOCAL_DIRS"] = "/dev/shm/spark-local,/tmp/spark-local"
+
     # A/B toggles (defaults match the shipped DedupConfig)
     cfg = DedupConfig(
         title_grouping=os.environ.get("SPARK_GRAFT_TITLE_GROUPING", "0") == "1",
