@@ -100,6 +100,12 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"),
         )
     )
+    # generic conf pass-through for single-variable A/B arms:
+    # SPARK_GRAFT_EXTRA_CONF="spark.memory.fraction=0.75;spark.x=y"
+    extra = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for kv in filter(None, extra.split(";")):
+        k, _, v = kv.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     # stage-profile capture (scripts/stage_profile.py reads these): event
     # logs carry per-stage submit/complete times, task counts and task-time
     # sums — the ground truth for "which stages are core-count-independent"

@@ -56,6 +56,7 @@ time.sleep(1.2)  # stay alive until the orphan finishes and init reaps it
 def test_meter_counts_orphan_reaped_cpu_as_own():
     m = ExternalLoadMeter(poll_s=0.05)
     init0 = init_reaped_seconds()
+    t0 = time.monotonic()
     m.start()
     subprocess.run([sys.executable, "-c", _ORPHAN_BURNER], check=True)
     # init's reap bookkeeping lands with a short, variable delay
@@ -64,8 +65,10 @@ def test_meter_counts_orphan_reaped_cpu_as_own():
             break
         time.sleep(0.2)
     ext = m.stop()
-    # the orphan's ~0.6s CPU must land in OWN attribution
-    assert m.last_own_cores > 0.2
+    wall = time.monotonic() - t0
+    # the orphan's ~0.6s CPU must land in OWN attribution (CPU-seconds:
+    # the reap-wait loop stretches the wall, so a cores ratio is unstable)
+    assert m.last_own_cores * wall > 0.4
     # ...and not in external — only checkable when the box is quiet (a real
     # neighbor, e.g. a concurrent bench campaign, dominates ext legitimately)
     if _box_quiet():
@@ -87,22 +90,34 @@ def test_tree_cpu_counts_alive_subtree():
 _SIGIGN_CHURN = r"""
 import os, signal, sys, time
 signal.signal(signal.SIGCHLD, signal.SIG_IGN)
-if os.fork() == 0:
+pid = os.fork()
+if pid == 0:
     t = time.process_time()
     while time.process_time() - t < 0.8:
         sum(i * i for i in range(10000))
     os._exit(0)
-time.sleep(1.4)  # child dies unreaped-into-cutime while we are still alive
+# SIG_IGN auto-reaps, so waitpid raises ECHILD; poll /proc until the child
+# is gone — a fixed sleep loses CPU to attribution when the box is loaded
+# and the child runs slower than its burn target
+deadline = time.time() + 30.0
+while os.path.exists("/proc/%d" % pid) and time.time() < deadline:
+    time.sleep(0.05)
+time.sleep(0.2)  # child died unreaped-into-cutime while we are still alive
 """
 
 
 def test_meter_survives_sigign_worker_churn():
     m = ExternalLoadMeter(poll_s=0.05)
+    t0 = time.monotonic()
     m.start()
     subprocess.run([sys.executable, "-c", _SIGIGN_CHURN], check=True)
     ext = m.stop()
-    # the dead child's ~0.8s CPU must be OWN, not external contention
-    assert m.last_own_cores > 0.25
+    wall = time.monotonic() - t0
+    # the dead child's ~0.8s CPU must be OWN, not external contention;
+    # assert CPU-seconds, not cores — cores = cpu/wall collapses when a
+    # loaded box stretches the wall without changing the burn
+    own_cpu_s = m.last_own_cores * wall
+    assert own_cpu_s > 0.5
     if _box_quiet():
         assert ext < m.last_own_cores
 
