@@ -63,3 +63,24 @@ def parse_with_diagnostics(
     if parser is None:
         raise ValueError(f"unknown or unsupported citation format: {fmt!r}")
     return parser(text)
+
+
+def parse_rendered(
+    text: str,
+    filename: str = "<input>",
+    format: str | None = None,
+    color: bool = False,
+) -> tuple[list[dict[str, Any]], list[str]]:
+    """(citations, rendered diagnostic reports) from one payload.
+
+    The pretty-printing analog of the reference's free-function
+    ``parse_with_diagnostics`` (diagnostics.rs:110-119), which maps the error
+    side through ``to_diagnostic(filename, source)``.  Our kernels quarantine
+    per-record instead of failing the payload, so the error side is a LIST of
+    rendered reports rather than a single string."""
+    from biblib_spark.diagnostics import diagnostic_from_row
+
+    citations, errors = parse_with_diagnostics(text, format)
+    return citations, [
+        diagnostic_from_row(e, filename, text, color=color) for e in errors
+    ]

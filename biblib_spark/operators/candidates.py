@@ -109,6 +109,57 @@ def affix_keyed(feat: DataFrame, which: str, length: int) -> DataFrame:
     )
 
 
+def self_join_pairs_joined(
+    keyed: DataFrame, keys: list[str], max_bucket: int
+) -> DataFrame:
+    """Zero-object-aggregation twin of ``self_join_pairs``: identical pair
+    set, no ``collect_list`` anywhere.
+
+    Why: ``collect_list`` plans as ObjectHashAggregate, whose fallback
+    (default 128 in-memory entries) degenerates to a sort-based aggregation
+    of JAVA OBJECT rows — the flagship's event logs show that stage spilling
+    42-48 GB of execution memory and burning 1.7x more CPU-seconds at 32
+    cores than at 8 for identical work (bench_runs/r04/
+    stage_metrics_8c_32c.json, stage 46/111), the single largest
+    memory-bandwidth term in the job. Raising the fallback threshold OOMs
+    instead (ab_spill_aggfb1m.json, GCLocker retry storm).
+
+    Here every operator stays inside Tungsten whole-stage codegen:
+
+    1. bucket sizes + min rid via an ALGEBRAIC aggregation (count/min over
+       two longs — partial map-side combine, radix-sortable UnsafeRows,
+       no object buffers);
+    2. small buckets (<= max_bucket): pair expansion as a self-equi-join on
+       the bucket key with ``a < b`` as the join predicate — the shuffled
+       child is planned once and reused (ReusedExchange) for both sides;
+    3. oversize buckets: the same streamed star join as the salted path
+       (C7 — n-1 edges against the bucket's min rid, no task ever holds a
+       bucket).
+    """
+    kcols = [F.col(k) for k in keys]
+    sizes = (
+        keyed.groupBy(*kcols)
+        .agg(F.count(F.lit(1)).alias("n"), F.min("rid").alias("min_rid"))
+        .filter(F.col("n") > 1)
+    )
+
+    small_keys = sizes.filter(F.col("n") <= max_bucket).select(*keys)
+    small = keyed.join(small_keys, keys)
+    left = small.select(*keys, F.col("rid").alias("a"))
+    right = small.select(*keys, F.col("rid").alias("b"))
+    small_pairs = left.join(
+        right, [*(left[k] == right[k] for k in keys), F.col("a") < F.col("b")]
+    ).select("a", "b")
+
+    big_keys = sizes.filter(F.col("n") > max_bucket).select(*keys, "min_rid")
+    big_pairs = (
+        keyed.join(big_keys, keys)
+        .filter(F.col("rid") != F.col("min_rid"))
+        .select(F.col("min_rid").alias("a"), F.col("rid").alias("b"))
+    )
+    return small_pairs.unionByName(big_pairs)
+
+
 def self_join_pairs_salted(
     keyed: DataFrame, keys: list[str], max_bucket: int, salt: int = 16
 ) -> DataFrame:
@@ -282,7 +333,12 @@ def flat_candidate_pairs(feat: DataFrame, cfg) -> DataFrame:
     keyed = flat_candidate_keys(feat, cfg)
     # no pre-distinct: (bucket, rid) rows are already unique within each tier
     # and the tier salt keeps them distinct across tiers
-    gen = self_join_pairs_salted if cfg.salted_pairs else self_join_pairs
+    if cfg.salted_pairs:
+        gen = self_join_pairs_salted
+    elif getattr(cfg, "pair_strategy", "agg") == "join":
+        gen = self_join_pairs_joined
+    else:
+        gen = self_join_pairs
     pairs = gen(keyed, ["year_key", "bkey"], cfg.max_bucket)
     # C5: one verify per unordered pair (same pair can surface in many tiers)
     return pairs.distinct()

@@ -47,6 +47,13 @@ class DedupConfig:
     # members (boilerplate titles at 10^12-row scale); AQE handles the rest
     # locally, so the default favors the single-shuffle path
     salted_pairs: bool = False
+    # pair expansion inside each candidate bucket: "agg" collect_lists the
+    # bucket then double-explodes (one shuffle, but ObjectHashAggregate's
+    # sort fallback spills object rows — 42-48 GB at 10.2M records);
+    # "join" expands via a Tungsten self-equi-join with an algebraic
+    # size/min aggregation (no object buffers, exchange reused) — identical
+    # pair set (tests/test_dedupe_spark.py strategy-identity test)
+    pair_strategy: str = "agg"
     # C1 pmid/accession identity tiers (DOI is always on). Separately
     # switchable so recall harnesses can prove the SIMILARITY tiers'
     # coverage without registry-identifier shortcuts

@@ -90,6 +90,9 @@ def main() -> None:
     cfg = DedupConfig(
         title_grouping=os.environ.get("SPARK_GRAFT_TITLE_GROUPING", "0") == "1",
         salted_pairs=os.environ.get("SPARK_GRAFT_SALTED_PAIRS", "0") == "1",
+        pair_strategy=os.environ.get(
+            "SPARK_GRAFT_PAIR_STRATEGY", DedupConfig.pair_strategy
+        ),
     )
 
     spark = get_spark(f"cluster_job_{cores}", cores=cores)
