@@ -421,6 +421,30 @@ def _q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("rank", F.col("rank").cast("long"))
 
 
+def _q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat approximate top-k (ann.cosine_topk_ivf): spherical-k-means
+    quantizer trained on a deterministic bounded sample, one-cell-per-vector
+    inverted index, nprobe-cell probe + exact cosine rerank. Oracle: the
+    (vec_id, cell) and (query_id, cell) fixtures from the SAME train_ivf
+    kernel; DuckDB replays the probe join and the exact rerank in SQL."""
+    from biblib_spark.docfixtures import (
+        IVF_ITERS,
+        IVF_NLIST,
+        IVF_NPROBE,
+        IVF_SEED,
+        IVF_TRAIN,
+        ensure_doc_fixture,
+    )
+    from biblib_spark.operators.ann import cosine_topk_ivf
+
+    ensure_doc_fixture()
+    return cosine_topk_ivf(
+        _emb(spark, sf_dir), query_ids=[0, 1, 2], k=5, nlist=IVF_NLIST,
+        nprobe=IVF_NPROBE, seed=IVF_SEED, iters=IVF_ITERS,
+        train_sample=IVF_TRAIN,
+    ).withColumn("rank", F.col("rank").cast("long"))
+
+
 def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality gate in the contract: recall@5 of the multi-table
     multi-probe LSH (12 planes x 4 tables, 3 probe bits) vs exact cosine
@@ -674,7 +698,9 @@ def _doc_oracles() -> dict[str, str]:
     from biblib_spark.docfixtures import (
         ANN_CAND_PLAIN,
         ANN_CAND_PLANTED,
+        ANN_CELLS_IVF,
         ANN_PLANTED,
+        ANN_PROBES_IVF,
         DOC_BANDS,
         DOC_SIMHASH,
         ensure_doc_fixture,
@@ -736,6 +762,27 @@ def _doc_oracles() -> dict[str, str]:
             "    * sqrt(list_dot_product(q.vec, q.vec))) AS s"
             "  FROM c JOIN base b ON c.neighbor_id = b.vec_id"
             "  JOIN base q ON c.query_id = q.vec_id),"
+            " ranked AS (SELECT query_id, neighbor_id, row_number() OVER"
+            "  (PARTITION BY query_id ORDER BY s DESC, neighbor_id ASC) AS rank,"
+            "  round(s, 4) AS sim FROM scored)"
+            " SELECT query_id, neighbor_id, rank, sim FROM ranked WHERE rank <= 5"
+        ),
+        "ann_topk_ivf": (
+            "WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS vec"
+            "  FROM embeddings),"
+            f" cells AS (SELECT vec_id, cell"
+            f"  FROM read_parquet('{ANN_CELLS_IVF}')),"
+            f" probes AS (SELECT query_id, cell"
+            f"  FROM read_parquet('{ANN_PROBES_IVF}')),"
+            " cand AS (SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id"
+            "  FROM probes p JOIN cells c USING (cell)"
+            "  WHERE c.vec_id <> p.query_id),"
+            " scored AS (SELECT cand.query_id, cand.neighbor_id,"
+            "  list_dot_product(b.vec, q.vec)"
+            "   / (sqrt(list_dot_product(b.vec, b.vec))"
+            "    * sqrt(list_dot_product(q.vec, q.vec))) AS s"
+            "  FROM cand JOIN base b ON cand.neighbor_id = b.vec_id"
+            "  JOIN base q ON cand.query_id = q.vec_id),"
             " ranked AS (SELECT query_id, neighbor_id, row_number() OVER"
             "  (PARTITION BY query_id ORDER BY s DESC, neighbor_id ASC) AS rank,"
             "  round(s, 4) AS sim FROM scored)"
@@ -1163,6 +1210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_minhash": _q_near_dup_minhash,
         "near_dup_simhash": _q_near_dup_simhash,
         "ann_topk_lsh": _q_ann_topk_lsh,
+        "ann_topk_ivf": _q_ann_topk_ivf,
         "ann_recall": _q_ann_recall,
         "doc_fingerprints": _q_doc_fingerprints,
         # source-code clone pipeline over the input_hint table

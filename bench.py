@@ -7,9 +7,11 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
 Scaling protocol (BASELINE.json north_rule, sandbox form): the same
 clustering job on the same input at N and 4N local cores, each measurement
 in its own cold process (scripts/cluster_job.py) pinned with taskset, with a
-same-plan-shape warmup prefix and SYMMETRIC best-of-3 in-process repeats at
-both levels (the first 1-2 repeats pay C2 JIT — measured plateau at the
-3rd). The small level runs under SCHED_IDLE ballast on the complement cores
+same-plan-shape warmup prefix and SYMMETRIC best-of-6 in-process repeats at
+both levels (the 32c warm-state ramp lasts 1-2 repeats, then repeats 2-6
+plateau within 5% — bench_runs/r04/plateau6_32c.json; best-of-3 twice
+sampled the tail of the ramp). The small level runs under SCHED_IDLE
+ballast on the complement cores
 (scripts/ballast.py): with 8 of 32 cores busy the host boosts clocks ~1.55x
 (ballast_probe.py), so an unballasted small level measures on hardware the
 big level never gets. Each run records the EXTERNAL contention it saw
@@ -140,15 +142,22 @@ def main() -> None:
     probe = _host_ceilings() if do_scaling else None
 
     # SYMMETRIC repeat budgets (round-3 advice: asymmetric repeats bias the
-    # best-of ratio): both levels get 3 in-process repeats after the same
-    # warmup prefix — the big level plateaus by repeat 3 (measured
-    # [615,440,413,424]); giving the small level the same budget removes
-    # the flattery of comparing its repeat-2 against the big level's
-    # repeat-3
-    big_runs = _level_runs(CPUS, procs=max(1, scale_rounds), repeats=3)
+    # best-of ratio): both levels get the SAME in-process repeat count after
+    # the same warmup prefix. Budget is 6, not 3: the 32c level's warm-state
+    # ramp (C2 JIT + allocator/page-cache steady state) lasts 1-2 repeats
+    # and only then plateaus — measured [275.5, 153.3, 145.8, 146.3, 151.6,
+    # 150.0] (bench_runs/r04/plateau6_32c.json): repeats 2-6 sit within 5%,
+    # while a best-of-3 window twice sampled the tail of the ramp and read
+    # 172-196 s for the same job (scale4m_b_32c.json, ab_pairjoin_32c.json).
+    # The 8c level shows no ramp, only ±13% noise — the shared budget gives
+    # both levels the same minimum-sampling power.
+    scale_repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "6"))
+    big_runs = _level_runs(CPUS, procs=max(1, scale_rounds),
+                           repeats=scale_repeats)
     small_runs: list[dict] = []
     if do_scaling:
-        small_runs = _level_runs(small_cores, procs=1, repeats=3)
+        small_runs = _level_runs(small_cores, procs=1,
+                                 repeats=scale_repeats)
 
     big = _best(big_runs)
     queries["parse_dedupe_cluster"] = big["seconds"]
@@ -186,6 +195,7 @@ def main() -> None:
     # geometry where no sublinear index works — see cosine_topk_lsh)
     from biblib_spark.operators.ann import (
         cosine_topk,
+        cosine_topk_ivf,
         cosine_topk_lsh,
         plant_neighbors,
     )
@@ -216,6 +226,11 @@ def main() -> None:
         "recall_at_5_multiprobe_4tables": _recall(
             cosine_topk_lsh(table, query_ids=qids, k=5, n_planes=12,
                             n_tables=4, probe_bits=3).collect(),
+            exact_rows,
+        ),
+        "recall_at_5_ivf_nprobe4": _recall(
+            cosine_topk_ivf(table, query_ids=qids, k=5, nlist=16,
+                            nprobe=4).collect(),
             exact_rows,
         ),
     }

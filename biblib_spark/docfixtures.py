@@ -22,6 +22,11 @@ Inputs are the driver's own sf0.01 tables (read with pyarrow, no Spark):
   (n_planes=6, 1 table, 3 probe bits, seed 7)
 - ann_cand_planted.parquet (query_id, neighbor_id) — same over the PLANTED
   table at the recall-harness config (12 planes x 4 tables, 3 probe bits)
+- ann_cells_ivf.parquet   (vec_id, cell)   — IVF-Flat cell assignment from
+  the shared train_ivf kernel (nlist=16, seed 7, 8 Lloyd iters, trained on
+  the first 512 vectors by id)
+- ann_probes_ivf.parquet  (query_id, cell) — the nprobe=4 nearest cells per
+  contract query
 
 Content is a pure function of the sf0.01 parquet + the kernel seeds; built
 lazily with an atomic rename (concurrent builders produce identical bytes).
@@ -33,12 +38,15 @@ import os
 import shutil
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-DOC_FIXTURE_DIR = os.path.join(REPO_ROOT, ".oracle_fixture_docs_v1")
+# v2: + IVF cell/probe fixtures (ann_cells_ivf, ann_probes_ivf)
+DOC_FIXTURE_DIR = os.path.join(REPO_ROOT, ".oracle_fixture_docs_v2")
 DOC_SIMHASH = os.path.join(DOC_FIXTURE_DIR, "doc_simhash.parquet")
 DOC_BANDS = os.path.join(DOC_FIXTURE_DIR, "doc_bands.parquet")
 ANN_PLANTED = os.path.join(DOC_FIXTURE_DIR, "ann_planted.parquet")
 ANN_CAND_PLAIN = os.path.join(DOC_FIXTURE_DIR, "ann_cand_plain.parquet")
 ANN_CAND_PLANTED = os.path.join(DOC_FIXTURE_DIR, "ann_cand_planted.parquet")
+ANN_CELLS_IVF = os.path.join(DOC_FIXTURE_DIR, "ann_cells_ivf.parquet")
+ANN_PROBES_IVF = os.path.join(DOC_FIXTURE_DIR, "ann_probes_ivf.parquet")
 
 SF_DIR = "/root/testdata/sf0.01"  # the driver's correctness-gate scale
 
@@ -48,6 +56,7 @@ MINHASH_K, MINHASH_PERMS, MINHASH_BANDS, MINHASH_SEED = 5, 128, 32, 97
 ANN_DIM, ANN_SEED = 64, 7
 PLAIN_PLANES, PLAIN_TABLES, PLAIN_PROBE = 6, 1, 3
 REC_PLANES, REC_TABLES, REC_PROBE = 12, 4, 3
+IVF_NLIST, IVF_NPROBE, IVF_SEED, IVF_ITERS, IVF_TRAIN = 16, 4, 7, 8, 512
 PLANT_QUERIES = [0, 1, 2]
 PLANT_PER_QUERY, PLANT_NOISE, PLANT_SEED = 5, 0.05, 99
 
@@ -142,6 +151,40 @@ def _build(tmp: str) -> None:
              "neighbor_id": [p[1] for p in cand]}
         ).cast(pa.schema([("query_id", pa.int64()), ("neighbor_id", pa.int64())])),
         os.path.join(tmp, "ann_cand_plain.parquet"),
+    )
+
+    # IVF fixtures: same train_ivf kernel the Spark operator calls, trained
+    # on the first IVF_TRAIN vectors by id (the operator's deterministic
+    # sample = orderBy(id).limit(n)); the oracle replays probe-cells join +
+    # exact rerank in SQL over these assignments
+    from biblib_spark.operators.ann import train_ivf
+
+    order = np.argsort(np.asarray(vec_ids, dtype=np.int64), kind="stable")
+    sorted_vecs = [vecs[i] for i in order]
+    centroids = train_ivf(
+        np.asarray(sorted_vecs[:IVF_TRAIN], dtype=np.float64),
+        IVF_NLIST, IVF_SEED, IVF_ITERS,
+    )
+    ct = centroids.T
+    cells = [int(np.argmax(np.asarray(v) @ ct)) for v in vecs]
+    pq.write_table(
+        pa.table({"vec_id": vec_ids, "cell": cells}).cast(
+            pa.schema([("vec_id", pa.int64()), ("cell", pa.int64())])
+        ),
+        os.path.join(tmp, "ann_cells_ivf.parquet"),
+    )
+    by_id_ivf = dict(zip(vec_ids, vecs))
+    probe_q, probe_c = [], []
+    for q in PLANT_QUERIES:
+        dots = np.asarray(by_id_ivf[q]) @ ct
+        for c in np.argsort(-dots, kind="stable")[:IVF_NPROBE]:
+            probe_q.append(q)
+            probe_c.append(int(c))
+    pq.write_table(
+        pa.table({"query_id": probe_q, "cell": probe_c}).cast(
+            pa.schema([("query_id", pa.int64()), ("cell", pa.int64())])
+        ),
+        os.path.join(tmp, "ann_probes_ivf.parquet"),
     )
 
     # planted-neighbor table: seeded perturbed copies of each query vector

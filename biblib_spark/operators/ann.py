@@ -283,3 +283,145 @@ def cosine_topk_lsh(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("sim", 4).alias("sim"))
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-Flat: k-means coarse quantizer -> inverted cells -> probe + exact rerank
+# ---------------------------------------------------------------------------
+
+
+def train_ivf(vecs: np.ndarray, nlist: int, seed: int = 7,
+              iters: int = 8) -> np.ndarray:
+    """Spherical k-means coarse quantizer (the IVF training step).
+
+    Pure numpy, deterministic for (vecs, nlist, seed): seeded init choice,
+    Lloyd iterations with argmax-cosine assignment, centroids re-normalized
+    each round (spherical variant — the metric is cosine). Empty cells keep
+    their previous centroid (no RNG inside the loop). This is the SHARED
+    KERNEL: the Spark operator and the DuckDB oracle fixture both call it,
+    so cell assignments are bit-identical.
+
+    Training on a bounded sample is the standard IVF practice (FAISS trains
+    its quantizer on ~max(10k, 39*nlist) sampled vectors regardless of index
+    size) — at 10^9+ rows the sample, not the table, bounds driver memory.
+    """
+    X = np.asarray(vecs, dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    nlist = min(nlist, len(X))
+    centroids = X[rng.choice(len(X), size=nlist, replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(X @ centroids.T, axis=1)
+        for j in range(nlist):
+            members = X[assign == j]
+            if len(members):
+                c = members.sum(axis=0)
+                norm = np.linalg.norm(c)
+                if norm > 1e-12:
+                    centroids[j] = c / norm
+    return centroids
+
+
+def make_ivf_cell_udf(centroids: np.ndarray):
+    """vec -> owning cell id (argmax dot against unit centroids; dividing by
+    |v| cannot change the argmax, so raw dot IS the cosine assignment)."""
+    ct = np.ascontiguousarray(centroids.T)
+
+    @pandas_udf(LongType())
+    def cell_udf(vecs: pd.Series) -> pd.Series:
+        m = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in vecs], dtype=np.float64
+        )
+        return pd.Series(np.argmax(m @ ct, axis=1).astype(np.int64))
+
+    return cell_udf
+
+
+def make_ivf_probe_udf(centroids: np.ndarray, nprobe: int):
+    """query vec -> its nprobe nearest cells (stable argsort: ties broken by
+    cell id, reproducible across sessions)."""
+    from pyspark.sql.types import ArrayType
+
+    ct = np.ascontiguousarray(centroids.T)
+
+    @pandas_udf(ArrayType(LongType()))
+    def probe_udf(vecs: pd.Series) -> pd.Series:
+        m = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in vecs], dtype=np.float64
+        )
+        order = np.argsort(-(m @ ct), axis=1, kind="stable")[:, :nprobe]
+        return pd.Series([row.astype(np.int64).tolist() for row in order])
+
+    return probe_udf
+
+
+def cosine_topk_ivf(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    seed: int = 7,
+    iters: int = 8,
+    train_sample: int = 512,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via an IVF-Flat index (the second scale path next
+    to :func:`cosine_topk_lsh`).
+
+    Shape: train a spherical-k-means quantizer on a DETERMINISTIC bounded
+    sample (first ``train_sample`` rows by id — FAISS-style sample training;
+    the collect is bounded by the constant, never by table size), assign
+    every vector to its nearest centroid (one Arrow pass, ONE cell per
+    vector — no n_tables storage replication, unlike LSH), probe the
+    ``nprobe`` nearest cells per query, exact-cosine rerank inside the
+    probed cells only.
+
+    Scale: candidates ~ (nprobe/nlist) of the table per query; the index
+    side adds one int64 column; the query side is broadcast. Because cells
+    partition the index, a (query, neighbor) pair can surface at most once
+    — no candidate dedup stage at all (LSH needs one per table/probe).
+    Recall is governed by cell-boundary effects: for near-duplicate
+    workloads (the north_rule's geometry) the true neighbors share the
+    query's cell almost surely and nprobe covers boundary cases.
+    """
+    sample = (
+        embeddings.orderBy(id_col)
+        .limit(train_sample)
+        .select(F.col(vec_col).cast("array<double>"))
+        .collect()
+    )
+    centroids = train_ivf(
+        np.asarray([r[0] for r in sample], dtype=np.float64), nlist, seed, iters
+    )
+    cell_udf = make_ivf_cell_udf(centroids)
+    probe_udf = make_ivf_probe_udf(centroids, nprobe)
+
+    base = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    ).withColumn("vnorm", _norm(F.col("vec")))
+    indexed = base.withColumn("cell", cell_udf("vec"))
+    queries = (
+        base.filter(F.col("neighbor_id").isin(query_ids))
+        .select(
+            F.col("neighbor_id").alias("query_id"),
+            F.col("vec").alias("qvec"),
+            F.col("vnorm").alias("qnorm"),
+            F.explode(probe_udf("vec")).alias("cell"),
+        )
+    )
+    cand = indexed.join(F.broadcast(queries), "cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    sim = _dot(F.col("vec"), F.col("qvec")) / (F.col("vnorm") * F.col("qnorm"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 4).alias("sim"))
+    )

@@ -1,0 +1,150 @@
+"""Iceberg-style snapshot table: atomic commits, time travel, integrity,
+concurrency (plans/icetable.py — the real-cluster shape of C8)."""
+
+import json
+import os
+
+import pytest
+
+from biblib_spark.plans.icetable import (
+    CommitConflict,
+    IceTable,
+    _file_stats,
+)
+
+
+@pytest.fixture
+def table(tmp_path):
+    return IceTable(str(tmp_path / "tbl"))
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).withColumnRenamed("id", "v")
+
+
+def test_append_and_time_travel(spark, table):
+    table.append(_df(spark, 0, 10))
+    table.append(_df(spark, 10, 15))
+    assert table.current_version() == 2
+    # current snapshot sees both commits
+    assert table.read(spark).count() == 15
+    # v1 still reads exactly the first commit (snapshot isolation)
+    assert table.read(spark, version=1).count() == 10
+    snaps = table.snapshots()
+    assert [s["operation"] for s in snaps] == ["append", "append"]
+    assert snaps[1]["parent"] == 1
+    assert snaps[1]["rows"] == 15
+
+
+def test_overwrite_replaces_but_keeps_history(spark, table):
+    table.append(_df(spark, 0, 10))
+    table.overwrite(_df(spark, 100, 103))
+    assert sorted(r.v for r in table.read(spark).collect()) == [100, 101, 102]
+    # time travel to the pre-overwrite snapshot
+    assert table.read(spark, version=1).count() == 10
+
+
+def test_commit_is_atomic_under_version_race(spark, table):
+    """Simulate a concurrent writer landing the next version first: the
+    commit must NOT clobber it — it retries on top (O_EXCL create)."""
+    table.append(_df(spark, 0, 5))
+    # interloper claims v2 directly
+    meta = table.snapshot(1)
+    meta["version"], meta["parent"] = 2, 1
+    with open(table._meta_path(2), "w") as f:
+        json.dump(meta, f)
+    with open(table._hint_path(), "w") as f:
+        f.write("2")
+    snap = table.append(_df(spark, 5, 8))
+    assert snap["version"] == 3  # replayed on top, not overwritten
+    # base = the interloper's v2 manifest (which references v1's 5 rows) + 3
+    assert table.read(spark).count() == 8
+    # the interloper's snapshot is intact — nothing was clobbered
+    assert table.snapshot(2)["version"] == 2
+    assert table.read(spark, version=2).count() == 5
+
+
+def test_commit_conflict_exhausts_retries(spark, table, monkeypatch):
+    table.append(_df(spark, 0, 3))
+    # every version this writer tries is already taken
+    monkeypatch.setattr(
+        IceTable, "current_version", lambda self: 1
+    )
+    meta = table.snapshot(1)
+    with open(table._meta_path(2), "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(CommitConflict):
+        table._commit([], "append", retries=2)
+
+
+def test_verify_detects_tamper_and_loss(spark, table):
+    table.append(_df(spark, 0, 20))
+    assert table.verify(spark) == []
+    files = [e["path"] for e in table.snapshot()["manifest"]]
+    victim = files[0]
+    os.remove(victim)
+    problems = table.verify(spark)
+    assert problems and "missing data file" in problems[0]
+
+
+def test_verify_detects_content_drift(spark, table):
+    table.append(_df(spark, 0, 20))
+    # swap a data file for one with different content but same name
+    victim = table.snapshot()["manifest"][0]["path"]
+    _df(spark, 900, 905).coalesce(1).write.mode("overwrite").parquet(
+        victim + ".swap"
+    )
+    part = [
+        f for f in os.listdir(victim + ".swap") if f.endswith(".parquet")
+    ][0]
+    os.replace(os.path.join(victim + ".swap", part), victim)
+    # with the Hadoop-local .crc sidecar still present the swapped file is
+    # unreadable (checksum mismatch) — verify must name it, not crash
+    problems = table.verify(spark)
+    assert problems and "unreadable data file" in problems[0]
+    # drop the sidecar: now the file reads fine and the MANIFEST lineage
+    # (rows / hash-XOR) is what catches the drift
+    crc = os.path.join(
+        os.path.dirname(victim), "." + os.path.basename(victim) + ".crc"
+    )
+    os.remove(crc)
+    problems = table.verify(spark)
+    assert problems and ("rows" in problems[0] or "hxor" in problems[0])
+
+
+def test_expire_snapshots_sweeps_unreferenced_files(spark, table):
+    table.append(_df(spark, 0, 10))
+    table.overwrite(_df(spark, 50, 55))
+    old_files = [e["path"] for e in table.snapshot(1)["manifest"]]
+    deleted = table.expire_snapshots(keep_last=1)
+    assert set(deleted) == set(old_files)
+    assert all(not os.path.exists(p) for p in old_files)
+    # current snapshot still reads fine; expired version is gone
+    assert table.read(spark).count() == 5
+    with pytest.raises(FileNotFoundError):
+        table.snapshot(1)
+
+
+def test_append_after_expire_keeps_lineage(spark, table):
+    table.append(_df(spark, 0, 4))
+    table.append(_df(spark, 4, 8))
+    table.expire_snapshots(keep_last=1)
+    table.append(_df(spark, 8, 10))
+    assert table.read(spark).count() == 10
+
+
+def test_manifest_stats_match_checkpoint_fold(spark, table):
+    """The manifest's per-file (rows, hxor) must equal what the checkpoint
+    marker machinery derives for the same files — one lineage definition."""
+    from biblib_spark.plans.checkpoint import _partition_stats
+
+    table.append(_df(spark, 0, 30))
+    manifest = table.snapshot()["manifest"]
+    df = spark.read.parquet(*[e["path"] for e in manifest])
+    by_name = {
+        os.path.basename(e["path"]): (e["rows"], e["hxor"]) for e in manifest
+    }
+    marker = {
+        k: (v["rows"], v["hxor"]) for k, v in _partition_stats(df).items()
+    }
+    assert by_name == marker
