@@ -471,6 +471,41 @@ def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF twin of the ann_recall gate: recall@5 of the IVF-Flat index
+    (nlist=16, nprobe=4) vs exact cosine top-5 over the same seeded
+    planted-neighbor table. A cell-assignment or probe regression below the
+    planted-recall level trips the hash."""
+    from biblib_spark.docfixtures import (
+        ANN_PLANTED,
+        IVF_ITERS,
+        IVF_NLIST,
+        IVF_NPROBE,
+        IVF_SEED,
+        IVF_TRAIN,
+        ensure_doc_fixture,
+    )
+    from biblib_spark.operators.ann import cosine_topk, cosine_topk_ivf
+
+    ensure_doc_fixture()
+    planted = spark.read.parquet(ANN_PLANTED)
+    exact = cosine_topk(planted, [0, 1, 2], k=5)
+    ivf = cosine_topk_ivf(
+        planted, [0, 1, 2], k=5, nlist=IVF_NLIST, nprobe=IVF_NPROBE,
+        seed=IVF_SEED, iters=IVF_ITERS, train_sample=IVF_TRAIN,
+    )
+    hits = exact.join(
+        ivf.select("query_id", "neighbor_id").withColumn("hit", F.lit(1)),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    return (
+        hits.groupBy("query_id")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hits"))
+        .withColumn("recall", F.round(F.col("n_hits") / 5.0, 2))
+    )
+
+
 def _q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from biblib_spark.operators.textops import fingerprint_col
 
@@ -696,6 +731,7 @@ def _doc_oracles() -> dict[str, str]:
     itself — star-capped bucket self-join (C7), hamming / Jaccard / cosine
     verify, top-k rank — is re-implemented here independently in SQL."""
     from biblib_spark.docfixtures import (
+        ANN_CAND_IVF_PLANTED,
         ANN_CAND_PLAIN,
         ANN_CAND_PLANTED,
         ANN_CELLS_IVF,
@@ -813,6 +849,34 @@ def _doc_oracles() -> dict[str, str]:
             " SELECT e.query_id, count(l.neighbor_id)::BIGINT AS n_hits,"
             "  round(count(l.neighbor_id) / 5.0, 2) AS recall"
             " FROM exact5 e LEFT JOIN lsh5 l"
+            "  ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id"
+            " GROUP BY e.query_id"
+        ),
+        "ann_recall_ivf": (
+            f"WITH base AS (SELECT vec_id, embedding AS vec"
+            f"  FROM read_parquet('{ANN_PLANTED}')),"
+            " q AS (SELECT vec_id AS query_id, vec AS qvec FROM base"
+            "  WHERE vec_id IN (0, 1, 2)),"
+            " scored AS (SELECT q.query_id, b.vec_id AS neighbor_id,"
+            "  list_dot_product(b.vec, q.qvec)"
+            "   / (sqrt(list_dot_product(b.vec, b.vec))"
+            "    * sqrt(list_dot_product(q.qvec, q.qvec))) AS s"
+            "  FROM base b, q WHERE b.vec_id <> q.query_id),"
+            " exact5 AS (SELECT query_id, neighbor_id FROM"
+            "  (SELECT query_id, neighbor_id, row_number() OVER"
+            "   (PARTITION BY query_id ORDER BY s DESC, neighbor_id ASC) AS rn"
+            "   FROM scored) WHERE rn <= 5),"
+            f" cand AS (SELECT query_id, neighbor_id"
+            f"  FROM read_parquet('{ANN_CAND_IVF_PLANTED}')),"
+            " ivf5 AS (SELECT query_id, neighbor_id FROM"
+            "  (SELECT sc.query_id, sc.neighbor_id, row_number() OVER"
+            "   (PARTITION BY sc.query_id ORDER BY sc.s DESC,"
+            "    sc.neighbor_id ASC) AS rn"
+            "   FROM scored sc JOIN cand USING (query_id, neighbor_id))"
+            "  WHERE rn <= 5)"
+            " SELECT e.query_id, count(l.neighbor_id)::BIGINT AS n_hits,"
+            "  round(count(l.neighbor_id) / 5.0, 2) AS recall"
+            " FROM exact5 e LEFT JOIN ivf5 l"
             "  ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id"
             " GROUP BY e.query_id"
         ),
@@ -1212,6 +1276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_lsh": _q_ann_topk_lsh,
         "ann_topk_ivf": _q_ann_topk_ivf,
         "ann_recall": _q_ann_recall,
+        "ann_recall_ivf": _q_ann_recall_ivf,
         "doc_fingerprints": _q_doc_fingerprints,
         # source-code clone pipeline over the input_hint table
         "code_exact_dup_groups": _q_code_exact_dup_groups,

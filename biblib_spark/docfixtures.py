@@ -27,6 +27,9 @@ Inputs are the driver's own sf0.01 tables (read with pyarrow, no Spark):
   the first 512 vectors by id)
 - ann_probes_ivf.parquet  (query_id, cell) — the nprobe=4 nearest cells per
   contract query
+- ann_cand_ivf_planted.parquet (query_id, neighbor_id) — IVF probe-join
+  candidates over the PLANTED table at the recall-gate config (same
+  train_ivf kernel; the ann_recall_ivf oracle reranks these in SQL)
 
 Content is a pure function of the sf0.01 parquet + the kernel seeds; built
 lazily with an atomic rename (concurrent builders produce identical bytes).
@@ -39,7 +42,8 @@ import shutil
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # v2: + IVF cell/probe fixtures (ann_cells_ivf, ann_probes_ivf)
-DOC_FIXTURE_DIR = os.path.join(REPO_ROOT, ".oracle_fixture_docs_v2")
+# v3: + IVF candidates over the planted table (ann_cand_ivf_planted)
+DOC_FIXTURE_DIR = os.path.join(REPO_ROOT, ".oracle_fixture_docs_v3")
 DOC_SIMHASH = os.path.join(DOC_FIXTURE_DIR, "doc_simhash.parquet")
 DOC_BANDS = os.path.join(DOC_FIXTURE_DIR, "doc_bands.parquet")
 ANN_PLANTED = os.path.join(DOC_FIXTURE_DIR, "ann_planted.parquet")
@@ -47,6 +51,9 @@ ANN_CAND_PLAIN = os.path.join(DOC_FIXTURE_DIR, "ann_cand_plain.parquet")
 ANN_CAND_PLANTED = os.path.join(DOC_FIXTURE_DIR, "ann_cand_planted.parquet")
 ANN_CELLS_IVF = os.path.join(DOC_FIXTURE_DIR, "ann_cells_ivf.parquet")
 ANN_PROBES_IVF = os.path.join(DOC_FIXTURE_DIR, "ann_probes_ivf.parquet")
+ANN_CAND_IVF_PLANTED = os.path.join(
+    DOC_FIXTURE_DIR, "ann_cand_ivf_planted.parquet"
+)
 
 SF_DIR = "/root/testdata/sf0.01"  # the driver's correctness-gate scale
 
@@ -224,6 +231,40 @@ def _build(tmp: str) -> None:
              "neighbor_id": [p[1] for p in cand2]}
         ).cast(pa.schema([("query_id", pa.int64()), ("neighbor_id", pa.int64())])),
         os.path.join(tmp, "ann_cand_planted.parquet"),
+    )
+
+    # IVF candidates over the PLANTED table (the ann_recall_ivf gate): same
+    # train_ivf kernel + config as the Spark operator — train on the first
+    # IVF_TRAIN vectors by id, assign one cell per vector, probe IVF_NPROBE
+    # cells per query, candidate = shares a probed cell
+    p_order = np.argsort(np.asarray(p_ids, dtype=np.int64), kind="stable")
+    p_sorted = [p_vecs[i] for i in p_order]
+    p_centroids = train_ivf(
+        np.asarray(p_sorted[:IVF_TRAIN], dtype=np.float64),
+        IVF_NLIST, IVF_SEED, IVF_ITERS,
+    )
+    pct = p_centroids.T
+    p_cell = {
+        i: int(np.argmax(np.asarray(v) @ pct)) for i, v in zip(p_ids, p_vecs)
+    }
+    by_id_p = dict(zip(p_ids, p_vecs))
+    cq, cn = [], []
+    for q in PLANT_QUERIES:
+        probed = set(
+            int(c)
+            for c in np.argsort(
+                -(np.asarray(by_id_p[q]) @ pct), kind="stable"
+            )[:IVF_NPROBE]
+        )
+        for i in p_ids:
+            if i != q and p_cell[i] in probed:
+                cq.append(q)
+                cn.append(i)
+    pq.write_table(
+        pa.table({"query_id": cq, "neighbor_id": cn}).cast(
+            pa.schema([("query_id", pa.int64()), ("neighbor_id", pa.int64())])
+        ),
+        os.path.join(tmp, "ann_cand_ivf_planted.parquet"),
     )
 
 
