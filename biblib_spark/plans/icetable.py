@@ -253,3 +253,45 @@ class IceTable:
                         os.remove(os.path.join(full, f))
                     os.rmdir(full)
         return deleted
+
+
+def run_stage_ice(
+    spark: SparkSession,
+    table_dir: str,
+    build,
+    lineage: dict | None = None,
+    verify_on_resume: bool = True,
+    on_corrupt: str = "raise",
+) -> DataFrame:
+    """Build-or-resume one pipeline stage with an IceTable as the checkpoint
+    (the north_rule's "checkpoints per-partition lineage + counters to
+    Iceberg"; same contract as checkpoint.run_stage, snapshot metadata
+    playing the _STAGE_OK marker's role):
+
+    - resume requires a committed snapshot whose recorded input lineage
+      equals the CURRENT input's (a resume against changed input rebuilds,
+      never returns stale results) and whose manifest verifies
+      (per-file rows + content-hash XOR);
+    - a rebuild is an ``overwrite`` COMMIT, not an rm-rf: the superseded
+      snapshot stays time-travelable until ``expire_snapshots``;
+    - verification failure raises ``SnapshotIntegrityError`` by default
+      (``on_corrupt='rebuild'`` recommits instead).
+    """
+    table = IceTable(table_dir)
+    lineage = lineage or {}
+    if table.current_version() > 0:
+        snap = table.snapshot()
+        if snap.get("summary", {}).get("lineage") != lineage:
+            table.overwrite(build(), summary={"lineage": lineage})
+        elif verify_on_resume:
+            problems = table.verify(spark)
+            if problems:
+                if on_corrupt == "rebuild":
+                    table.overwrite(build(), summary={"lineage": lineage})
+                else:
+                    raise SnapshotIntegrityError(
+                        f"{table_dir}: {'; '.join(problems)}"
+                    )
+    else:
+        table.overwrite(build(), summary={"lineage": lineage})
+    return table.read(spark)

@@ -34,6 +34,7 @@ def run_pipeline(
     work_dir: str,
     cfg: DedupConfig | None = None,
     source_col: str | None = None,
+    table_format: str = "parquet",
 ) -> DataFrame:
     """Returns the clusters DataFrame (rid, cluster_id, is_unique, source).
 
@@ -42,11 +43,24 @@ def run_pipeline(
     quarantine views are filters over that single checkpointed scan.
     ``source_col`` names a corpus column carrying the per-payload source
     register (M12); every citation of a payload inherits it.
+
+    ``table_format='iceberg'`` checkpoints each stage as an IceTable
+    snapshot commit (plans/icetable.py) instead of parquet + _STAGE_OK
+    marker: same resume/lineage/verify contract, plus atomic commits,
+    snapshot isolation against concurrent readers, and time travel across
+    rebuilds — the north_rule's "resumable from checkpoint with
+    per-partition lineage + metrics" in its real-cluster table format.
     """
     cfg = cfg or DedupConfig()
     lineage = _input_fingerprint(corpus)
+    if table_format == "iceberg":
+        from biblib_spark.plans.icetable import run_stage_ice as stage_fn
+    elif table_format == "parquet":
+        stage_fn = run_stage
+    else:
+        raise ValueError(f"unknown table_format {table_format!r}")
 
-    diag = run_stage(
+    diag = stage_fn(
         spark,
         os.path.join(work_dir, "diagnostics"),
         lambda: parse_with_diagnostics(corpus),
@@ -66,7 +80,7 @@ def run_pipeline(
         joined = parsed.join(reg, parsed["row_id"] == reg["__src_row_id"])
         return records_from_parsed(joined, source_col="__src")
 
-    clusters = run_stage(
+    clusters = stage_fn(
         spark,
         os.path.join(work_dir, "clusters"),
         lambda: dedupe_records(_records(), cfg),

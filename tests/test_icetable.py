@@ -148,3 +148,88 @@ def test_manifest_stats_match_checkpoint_fold(spark, table):
         k: (v["rows"], v["hxor"]) for k, v in _partition_stats(df).items()
     }
     assert by_name == marker
+
+
+# ---- run_stage_ice: the pipeline checkpoint contract over snapshots --------
+
+
+def test_run_stage_ice_resume_and_lineage(spark, tmp_path):
+    from biblib_spark.plans.icetable import run_stage_ice
+
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return _df(spark, 0, 12)
+
+    d = str(tmp_path / "stage")
+    lin = {"input_rows": 12, "input_hash_xor": 7}
+    assert run_stage_ice(spark, d, build, lin).count() == 12
+    assert calls["n"] == 1
+    # same lineage -> snapshot verifies -> resumed, not rebuilt
+    assert run_stage_ice(spark, d, build, lin).count() == 12
+    assert calls["n"] == 1
+    assert IceTable(d).current_version() == 1
+    # changed input lineage -> rebuild as a NEW snapshot (old one remains
+    # time-travelable: rebuilds are commits, not rm-rf)
+    lin2 = {"input_rows": 13, "input_hash_xor": 8}
+    assert run_stage_ice(spark, d, build, lin2).count() == 12
+    assert calls["n"] == 2
+    t = IceTable(d)
+    assert t.current_version() == 2
+    assert t.read(spark, version=1).count() == 12
+
+
+def test_run_stage_ice_integrity(spark, tmp_path):
+    from biblib_spark.plans.icetable import (
+        SnapshotIntegrityError,
+        run_stage_ice,
+    )
+
+    d = str(tmp_path / "stage")
+    lin = {"input_rows": 1}
+    run_stage_ice(spark, d, lambda: _df(spark, 0, 9), lin)
+    victim = IceTable(d).snapshot()["manifest"][0]["path"]
+    os.remove(victim)
+    with pytest.raises(SnapshotIntegrityError):
+        run_stage_ice(spark, d, lambda: _df(spark, 0, 9), lin)
+    # on_corrupt='rebuild' recommits instead
+    out = run_stage_ice(
+        spark, d, lambda: _df(spark, 0, 9), lin, on_corrupt="rebuild"
+    )
+    assert out.count() == 9
+    assert IceTable(d).verify(spark) == []
+
+
+def test_pipeline_iceberg_backend_matches_parquet(spark, tmp_path):
+    """run_pipeline(table_format='iceberg') produces the same clusters as
+    the parquet backend and resumes without recommitting."""
+    from biblib_spark.corpus import make_corpus
+    from biblib_spark.plans.pipeline import run_pipeline
+
+    corpus = make_corpus(spark, 120, seed=13)
+    wp, wi = str(tmp_path / "pq"), str(tmp_path / "ice")
+    ref = {
+        (r.rid, r.cluster_id)
+        for r in run_pipeline(spark, corpus, wp).collect()
+    }
+    got = {
+        (r.rid, r.cluster_id)
+        for r in run_pipeline(
+            spark, corpus, wi, table_format="iceberg"
+        ).collect()
+    }
+    assert got == ref
+    # resume: same snapshot versions afterwards (nothing recommitted)
+    v_before = [
+        IceTable(os.path.join(wi, s)).current_version()
+        for s in ("diagnostics", "clusters")
+    ]
+    assert v_before == [1, 1]
+    n = run_pipeline(spark, corpus, wi, table_format="iceberg").count()
+    assert n == len(got)
+    v_after = [
+        IceTable(os.path.join(wi, s)).current_version()
+        for s in ("diagnostics", "clusters")
+    ]
+    assert v_after == v_before
