@@ -164,6 +164,10 @@ class IceTable:
     def _write_data(self, df: DataFrame) -> list[dict]:
         commit_dir = os.path.join(self.data_dir, uuid.uuid4().hex)
         df.write.mode("error").parquet(commit_dir)
+        # an all-empty write leaves no part files (only _SUCCESS) — an empty
+        # manifest is a legal commit (e.g. an empty streaming microbatch)
+        if not any(f.endswith(".parquet") for f in os.listdir(commit_dir)):
+            return []
         return _file_stats(df.sparkSession.read.parquet(commit_dir))
 
     def append(self, df: DataFrame, summary: dict | None = None) -> dict:

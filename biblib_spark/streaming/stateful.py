@@ -6,9 +6,11 @@ bucket's ``GroupState`` carries the (rid, norm_title) members seen so far —
 ACROSS microbatches — so a duplicate landing hours after its twin matches
 against the state store instead of reprocessing history. Each arrival is
 verified against the bucket's members with the exact n-gram Jaccard arm and
-emits an edge ``(rid, match_rid, jaccard)`` on success; downstream, edges
-append to a distributed parquet edge log whose connected components
-(the batch C6 operator) are the persistent (rid, cluster_id) map.
+emits an edge ``(rid, match_rid, jaccard)`` on success; downstream, each
+microbatch's edges land as one atomic IceTable snapshot commit keyed by
+batch_id (idempotent under foreachBatch replay), and the edge log's
+connected components (the batch C6 operator) are the persistent
+(rid, cluster_id) map.
 
 Scale shape: state is partitioned BY BUCKET KEY across executors (the state
 store scales horizontally with the shuffle), per-bucket membership is capped
@@ -191,7 +193,7 @@ def merge_cluster_map(edges_pdf, map_path: str) -> None:
     os.replace(tmp, map_path)
 
 
-def rebuild_cluster_map(spark, edge_log: str, map_path: str) -> None:
+def rebuild_cluster_map(spark, edge_log, map_path: str) -> None:
     """Distributed (rid, cluster_id) map from the accumulated edge log.
 
     Runs the batch engine's min-label connected components
@@ -206,7 +208,10 @@ def rebuild_cluster_map(spark, edge_log: str, map_path: str) -> None:
     bottleneck (round-3 verdict "What's wrong #2")."""
     from biblib_spark.operators.components import connected_components
 
-    edges = spark.read.parquet(edge_log).select(
+    edges_df = (
+        spark.read.parquet(edge_log) if isinstance(edge_log, str) else edge_log
+    )
+    edges = edges_df.select(
         F.col("rid").alias("a"), F.col("match_rid").alias("b")
     )
     cmap = connected_components(edges).select("rid", "cluster_id")
@@ -228,21 +233,33 @@ def run_incremental_dedup(
     max_files_per_trigger: int | None = None,
 ):
     """One availableNow pass: parse + feature the landing-zone delta, match
-    it against the cross-batch state store, append the emitted edges to the
-    distributed edge log, then rebuild ``work_dir``/cluster_map.parquet with
-    the distributed CC (``rebuild_cluster_map``). No per-batch driver
-    collect: the foreachBatch sink is a distributed parquet append.
-    Returns the finished query."""
+    it against the cross-batch state store, commit the emitted edges to the
+    IceTable edge log (one atomic snapshot per microbatch, idempotent by
+    batch_id), then rebuild ``work_dir``/cluster_map.parquet with the
+    distributed CC (``rebuild_cluster_map``). No per-batch driver collect:
+    the foreachBatch sink is a distributed parquet write + O_EXCL metadata
+    commit. Returns the finished query."""
     from biblib_spark.streaming.ingest import stream_features
+
+    from biblib_spark.plans.icetable import IceTable
 
     feats = stream_features(spark, input_dir, max_files_per_trigger=max_files_per_trigger)
     edges = stateful_near_dup_edges(feats, threshold, state_cap)
-    edge_log = os.path.join(work_dir, "edge_log.parquet")
+    edge_log = IceTable(os.path.join(work_dir, "edge_log"))
     map_path = os.path.join(work_dir, "cluster_map.parquet")
 
-    def sink(batch_df, _batch_id):
-        # executor-side append; an empty batch writes only metadata
-        batch_df.write.mode("append").parquet(edge_log)
+    def sink(batch_df, batch_id):
+        # transactional foreachBatch: each microbatch lands as ONE atomic
+        # IceTable snapshot commit keyed by batch_id, so a sink replay after
+        # a mid-write failure (foreachBatch is at-least-once) is a no-op
+        # instead of duplicated edge rows, and a concurrent reader of the
+        # edge log can never see a torn batch
+        committed = {
+            s.get("summary", {}).get("batch_id") for s in edge_log.snapshots()
+        }
+        if batch_id in committed:
+            return
+        edge_log.append(batch_df, summary={"batch_id": batch_id})
 
     q = (
         edges.writeStream.foreachBatch(sink)
@@ -252,11 +269,7 @@ def run_incremental_dedup(
         .start()
     )
     q.awaitTermination(300)
-    # an all-empty pass leaves no parquet footers to read (empty partitions
-    # write nothing) — only rebuild when at least one edge file landed
-    has_edges = os.path.isdir(edge_log) and any(
-        f.endswith(".parquet") for f in os.listdir(edge_log)
-    )
-    if has_edges:
-        rebuild_cluster_map(spark, edge_log, map_path)
+    # only rebuild when at least one edge row has ever been committed
+    if edge_log.current_version() > 0 and edge_log.snapshot()["rows"] > 0:
+        rebuild_cluster_map(spark, edge_log.read(spark), map_path)
     return q

@@ -157,3 +157,58 @@ def test_state_cap_bounds_membership(spark, cap):
     # every non-anchor rid matched an anchor
     assert set(edges["rid"]) == {2, 3}
     assert (edges["match_rid"] == 1).all()
+
+
+def test_edge_log_commits_are_idempotent_by_batch_id(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying a batch_id that already
+    committed must be a no-op (no duplicated edge rows, no new snapshot)."""
+    from biblib_spark.plans.icetable import IceTable
+
+    log = IceTable(str(tmp_path / "edge_log"))
+    edges = pd.DataFrame(
+        {"rid": [5, 9], "match_rid": [1, 5], "jaccard": [1.0, 0.9]}
+    )
+    df = spark.createDataFrame(edges)
+
+    # the sink body from run_incremental_dedup, extracted verbatim
+    def sink(batch_df, batch_id):
+        committed = {
+            s.get("summary", {}).get("batch_id") for s in log.snapshots()
+        }
+        if batch_id in committed:
+            return
+        log.append(batch_df, summary={"batch_id": batch_id})
+
+    sink(df, 0)
+    assert log.current_version() == 1 and log.snapshot()["rows"] == 2
+    sink(df, 0)  # replay after a simulated post-commit failure
+    assert log.current_version() == 1 and log.snapshot()["rows"] == 2
+    sink(df, 1)  # a genuinely new batch still lands
+    assert log.current_version() == 2 and log.snapshot()["rows"] == 4
+
+
+def test_incremental_dedup_edge_log_is_snapshot_table(spark):
+    """The e2e streaming pass commits its edges as IceTable snapshots, one
+    per non-empty microbatch, each tagged with its batch_id."""
+    from biblib_spark.plans.icetable import IceTable
+
+    work = tempfile.mkdtemp(prefix="stateful_ice_")
+    in_dir = os.path.join(work, "landing")
+    try:
+        _write_batch(spark, in_dir, 10, seed=5, offset=0)
+        _write_batch(spark, in_dir, 10, seed=5, offset=100_000)  # dups
+        run_incremental_dedup(spark, in_dir, work, threshold=0.8)
+        log = IceTable(os.path.join(work, "edge_log"))
+        assert log.current_version() >= 1
+        assert log.snapshot()["rows"] > 0
+        assert all(
+            "batch_id" in s["summary"] for s in log.snapshots()
+        )
+        assert log.verify(spark) == []
+        # the rebuilt map covers every committed edge endpoint
+        cmap = pd.read_parquet(os.path.join(work, "cluster_map.parquet"))
+        edges = log.read(spark).toPandas()
+        endpoints = set(edges["rid"]) | set(edges["match_rid"])
+        assert endpoints <= set(cmap["rid"])
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
