@@ -282,8 +282,9 @@ def main() -> None:
                 "seconds_big": big["seconds"],
             })
             probe = _host_ceilings()
-            big_runs = _level_runs(CPUS, procs=1, repeats=3)
-            small_runs = _level_runs(small_cores, procs=1, repeats=3)
+            big_runs = _level_runs(CPUS, procs=1, repeats=scale_repeats)
+            small_runs = _level_runs(small_cores, procs=1,
+                                     repeats=scale_repeats)
             big2, small2 = _best(big_runs), _best(small_runs)
             thr_big2 = big2["records"] / big2["seconds"]
             thr_small2 = small2["records"] / small2["seconds"]
