@@ -259,6 +259,18 @@ class IceTable:
         return deleted
 
 
+def read_table_or_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Read ``path`` as an IceTable if it has committed snapshot metadata
+    (metadata/version-hint.text), else as a plain parquet dir — the
+    "parquet-or-iceberg corpus dir" input contract of the submit jobs. An
+    IceTable read is snapshot-isolated: a concurrent committer cannot tear
+    the scan's file list."""
+    table = IceTable(path)
+    if table.current_version() > 0:
+        return table.read(spark)
+    return spark.read.parquet(path)
+
+
 def run_stage_ice(
     spark: SparkSession,
     table_dir: str,

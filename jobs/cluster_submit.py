@@ -40,11 +40,19 @@ def main() -> None:
         action="store_true",
         help="disable M1 year blocking (O(n^2) within blocks becomes global)",
     )
+    ap.add_argument(
+        "--table-format",
+        default="parquet",
+        choices=("parquet", "iceberg"),
+        help="stage checkpoint format: _STAGE_OK-marked parquet or IceTable"
+        " snapshot commits (atomic, time-travelable rebuilds)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
 
     from biblib_spark.operators.dedupe import DedupConfig
+    from biblib_spark.plans.icetable import read_table_or_parquet
     from biblib_spark.plans.pipeline import run_pipeline
 
     # no master/core config here: spark-submit + the cluster manager own that
@@ -53,9 +61,11 @@ def main() -> None:
         group_by_year=not args.no_year_blocking,
         source_preferences=[s for s in args.source_preferences.split(",") if s],
     )
-    corpus = spark.read.parquet(args.input)
+    # --input may be an IceTable (snapshot-isolated read) or plain parquet
+    corpus = read_table_or_parquet(spark, args.input)
     clusters = run_pipeline(
-        spark, corpus, args.work_dir, cfg, source_col=args.source_col
+        spark, corpus, args.work_dir, cfg, source_col=args.source_col,
+        table_format=args.table_format,
     )
     n = clusters.count()
     uniq = clusters.filter("is_unique").count()

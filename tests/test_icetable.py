@@ -233,3 +233,14 @@ def test_pipeline_iceberg_backend_matches_parquet(spark, tmp_path):
         for s in ("diagnostics", "clusters")
     ]
     assert v_after == v_before
+
+
+def test_read_table_or_parquet_sniffs_format(spark, tmp_path):
+    from biblib_spark.plans.icetable import read_table_or_parquet
+
+    ice_dir = str(tmp_path / "ice")
+    IceTable(ice_dir).append(_df(spark, 0, 7))
+    pq_dir = str(tmp_path / "pq")
+    _df(spark, 0, 4).write.parquet(pq_dir)
+    assert read_table_or_parquet(spark, ice_dir).count() == 7
+    assert read_table_or_parquet(spark, pq_dir).count() == 4
