@@ -7,11 +7,13 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
 Scaling protocol (BASELINE.json north_rule, sandbox form): the same
 clustering job on the same input at N and 4N local cores, each measurement
 in its own cold process (scripts/cluster_job.py) pinned with taskset, with a
-same-plan-shape warmup prefix and SYMMETRIC best-of-6 in-process repeats at
-both levels (the 32c warm-state ramp lasts 1-2 repeats, then repeats 2-6
-plateau within 5% — bench_runs/r04/plateau6_32c.json; best-of-3 twice
-sampled the tail of the ramp). The small level runs under SCHED_IDLE
-ballast on the complement cores
+same-plan-shape warmup prefix and SYMMETRIC best-of-4 in-process repeats at
+both levels. (The 32c warm-state "ramp" that once forced a best-of-6 budget
+— bench_runs/r04/plateau6_32c.json — was G1 GCLocker allocation-stall
+storms; with the retry fix in session.py the 32c spread collapsed to
+132-128 s and a best-of-3 already lands on the plateau,
+bench_runs/r04/ab_gclocker_summary.json.) The small level runs under
+SCHED_IDLE ballast on the complement cores
 (scripts/ballast.py): with 8 of 32 cores busy the host boosts clocks ~1.55x
 (ballast_probe.py), so an unballasted small level measures on hardware the
 big level never gets. Each run records the EXTERNAL contention it saw
@@ -143,15 +145,13 @@ def main() -> None:
 
     # SYMMETRIC repeat budgets (round-3 advice: asymmetric repeats bias the
     # best-of ratio): both levels get the SAME in-process repeat count after
-    # the same warmup prefix. Budget is 6, not 3: the 32c level's warm-state
-    # ramp (C2 JIT + allocator/page-cache steady state) lasts 1-2 repeats
-    # and only then plateaus — measured [275.5, 153.3, 145.8, 146.3, 151.6,
-    # 150.0] (bench_runs/r04/plateau6_32c.json): repeats 2-6 sit within 5%,
-    # while a best-of-3 window twice sampled the tail of the ramp and read
-    # 172-196 s for the same job (scale4m_b_32c.json, ab_pairjoin_32c.json).
-    # The 8c level shows no ramp, only ±13% noise — the shared budget gives
-    # both levels the same minimum-sampling power.
-    scale_repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "6"))
+    # the same warmup prefix. Budget is 4: the 32c warm-state ramp that once
+    # demanded 6 (plateau6_32c.json measured [275.5, 153.3, 145.8, 146.3,
+    # 151.6, 150.0]) was G1 GCLocker stall storms — with the session.py
+    # retry fix the 32c spread is [132.0, 128.4, 129.2]
+    # (ab_gclocker_summary.json) and the 8c level shows only ±12% noise, so
+    # 4 repeats give each level one warm repeat of margin past best-of-3.
+    scale_repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "4"))
     big_runs = _level_runs(CPUS, procs=max(1, scale_rounds),
                            repeats=scale_repeats)
     small_runs: list[dict] = []

@@ -11,6 +11,11 @@ import os
 
 from pyspark.sql import SparkSession
 
+_GC_OPTS = os.environ.get(
+    "SPARK_GRAFT_JAVA_OPTS",
+    "-XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=100",
+)
+
 
 def get_spark(
     app_name: str = "biblib_spark",
@@ -99,6 +104,22 @@ def get_spark(
             "spark.io.compression.codec",
             os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"),
         )
+        # G1's GCLocker allocation-retry default (2) turns JNI critical
+        # sections (lz4 codec, Arrow) into allocation-stall storms whenever
+        # Tungsten asks for a 16-128 MiB humongous region while the locker
+        # is held: every 32-thread run log showed "Retried waiting for
+        # GCLocker too often" bursts, and the retry=2 premature
+        # allocation-failure GCs stalled all workers at once. Raising the
+        # retry count measured 152 -> 128 s at 32c with the warm-state ramp
+        # gone entirely (run spread 238-152 -> 132-128 s) and no effect at
+        # 8 threads, where GC keeps up and the storm never forms
+        # (bench_runs/r04/ab_gclocker_summary.json). Off-heap Tungsten
+        # (memory.offHeap 24g) was the A/B alternative and lost: 142 s best
+        # with a 224-351 s spread (ab_offheap_32c.json).
+        .config("spark.driver.extraJavaOptions", _GC_OPTS)
+        # local mode has no separate executor JVM; on a real cluster the
+        # executors are where the stall happens, so ship the same flags
+        .config("spark.executor.extraJavaOptions", _GC_OPTS)
     )
     # generic conf pass-through for single-variable A/B arms:
     # SPARK_GRAFT_EXTRA_CONF="spark.memory.fraction=0.75;spark.x=y"
