@@ -6,10 +6,18 @@ comes from the cluster manager and the input's partitioning.
 
     cd /path/to/repo && zip -qr /tmp/biblib_spark.zip biblib_spark
     spark-submit --py-files /tmp/biblib_spark.zip \
+        --conf "spark.executor.extraJavaOptions=-XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=100" \
         jobs/cluster_submit.py \
         --input  s3://bucket/corpus/          # parquet/Iceberg dir: (repo, path, commit, lang, content) + row_id
         --work-dir s3://bucket/runs/2026-08-16 \
         [--source-col repo] [--no-year-blocking]
+
+The extraJavaOptions line matters on G1 executors: JNI codec critical
+sections + Tungsten's 16-128 MiB humongous allocations turn the default
+GCLocker retry count (2) into whole-executor allocation-stall storms —
+measured 1.18x end-to-end at 32 threads (bench_runs/r04/
+ab_gclocker_summary.json; biblib_spark/session.py bakes the same flag
+into local sessions).
 
 Resumable: re-submitting with the same --work-dir skips completed stages
 (per-partition lineage verified; changed input rebuilds). The clusters

@@ -6,9 +6,14 @@ comes from the cluster manager and the input table's partitioning.
 
     cd /path/to/repo && zip -qr /tmp/biblib_spark.zip biblib_spark
     spark-submit --py-files /tmp/biblib_spark.zip \
+        --conf "spark.executor.extraJavaOptions=-XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=100" \
         jobs/code_clone_submit.py \
         --input  s3://bucket/code/            # parquet/Iceberg: (repo, path, commit, lang, content) [+ row_id]
         --work-dir s3://bucket/runs/2026-08-18
+
+(The extraJavaOptions line prevents G1 GCLocker allocation-stall storms on
+many-threaded executors — see jobs/cluster_submit.py and
+bench_runs/r04/ab_gclocker_summary.json for the measurement.)
 
 Resumable: re-submitting with the same --work-dir skips completed stages
 (per-partition lineage verified; changed input rebuilds — plans/checkpoint.py).
