@@ -82,7 +82,11 @@ def main() -> None:
     # round-robins blocks across a comma list, so tmpfs+disk halves RAM
     # pressure at ~2x the still-unmeasured I/O cost — on a real cluster the
     # local dir is per-executor NVMe and this tradeoff does not exist.
-    if "SPARK_LOCAL_DIRS" not in os.environ and num_payloads >= 6_000_000:
+    # threshold: 6M payloads (15.3M records) measured all-tmpfs-safe — peak
+    # Shmem ~22 GB with 88 GB MemAvailable (bench_runs/r04/
+    # scale6m_summary.json) — so the scaling-gate size stays on RAM; the
+    # OOM was at 10M payloads (99.8 GB Shmem)
+    if "SPARK_LOCAL_DIRS" not in os.environ and num_payloads > 6_000_000:
         if os.path.isdir("/dev/shm"):
             os.environ["SPARK_LOCAL_DIRS"] = "/dev/shm/spark-local,/tmp/spark-local"
 
