@@ -175,6 +175,7 @@ def main() -> None:
         # ALU/frequency ceiling once (it is stable across windows under
         # ballast; the volatile DRAM reading is bookended per round instead)
         alu_probe = _probe("ballast_probe.py", "2")
+        t_scaling0 = time.time()
         for _ in range(n_rounds):
             rounds.append(_paired_round(small_cores, scale_repeats))
 
@@ -192,9 +193,16 @@ def main() -> None:
         # extra paired rounds while the gate is unmet — the same discipline
         # as the contended-sample retries (a bad draw is re-sampled, never
         # hidden: every round stays in the artifact, and the pick rule is
-        # fixed up front)
+        # fixed up front). Also wall-bounded: a round at the 6M default is
+        # ~40 min, and the bench must leave room for the query/ann/code
+        # sections whatever the host draws.
         extra = 0
-        while pick["efficiency"] < 0.8 and extra < 2:
+        budget_s = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET_S", "5400"))
+        while (
+            pick["efficiency"] < 0.8
+            and extra < 2
+            and time.time() - t_scaling0 < budget_s
+        ):
             rounds.append(_paired_round(small_cores, scale_repeats))
             extra += 1
             pick = _pick(rounds)
