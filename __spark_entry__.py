@@ -665,6 +665,10 @@ def _q_cite_identity_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     feat, _, _ = _fixture(spark)
     keyed = identity_keyed(feat)
+    # max_bucket 1<<20 = effectively uncapped: this oracle row replays the
+    # RAW identity tier so the DuckDB SQL can mirror it without the star
+    # rewrite; production paths go through the capped flat_candidate_keys /
+    # candidate_pairs (MAX_BUCKET 64 + salting) — fixture scale only
     return self_join_pairs(keyed, ["year_key", "bkey"], max_bucket=1 << 20).distinct()
 
 
@@ -700,6 +704,8 @@ def _q_cite_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = affix_keyed(feat, "prefix", 24).unionByName(
         affix_keyed(feat, "suffix", 24)
     )
+    # uncapped for the same reason as _q_cite_identity_tiers: raw-tier
+    # oracle replay at fixture scale; production uses the capped paths
     cand = self_join_pairs(keyed, ["year_key", "bkey"], max_bucket=1 << 20).distinct()
     return containment_pairs(cand, feat, min_len=20)
 

@@ -23,10 +23,12 @@ The small level runs under SCHED_IDLE ballast on the complement cores
 ~1.55x, so an unballasted small level would measure on hardware the big
 level never gets. Each run records the external contention it saw
 (machine busy cores minus this process tree's own — loadavg can't
-separate the two). One extra round is added (bounded) if the gate is
-unmet and no clean round exists or the windows read a low bandwidth
-ceiling. Set SPARK_GRAFT_SCALING=0 to skip, SPARK_GRAFT_SCALE_ROUNDS for
-the round count (default 2), SPARK_GRAFT_SCALE_PAYLOADS for the input
+separate the two). Up to two extra rounds are added (wall-bounded) while the
+gate is unmet OR the current pick is contaminated (non-quiet or
+drift-split windows) — a clean round is bought with a retry rather than
+headlined from a lucky contaminated draw. Set SPARK_GRAFT_SCALING=0 to
+skip, SPARK_GRAFT_SCALE_ROUNDS for
+the round count (default 1, clamped >= 1), SPARK_GRAFT_SCALE_PAYLOADS for the input
 size (the per-job core-count-independent time — the fixed-cost fit in
 BASELINE.md — distorts the ratio at smaller inputs: 1.2M payloads
 under-reads efficiency by ~0.15, 400k by ~0.25).
@@ -80,6 +82,22 @@ def _run_cluster_job(cores: int, payloads: int, repeats: int | None = None) -> d
 def _best(rs: list[dict]) -> dict:
     quiet = [r for r in rs if r["external_cores_best_run"] <= EXT_GATE]
     return min(quiet or rs, key=lambda r: r["seconds"])
+
+
+def _median_eff(rounds: list[dict]) -> float | None:
+    """Median efficiency over usable (quiet, drift-stable) rounds — the
+    selection-free companion to the best-usable-round headline."""
+    effs = sorted(
+        r["efficiency"]
+        for r in rounds
+        if r["quiet"] and r["window_drift"] <= 0.12
+    )
+    if not effs:
+        return None
+    mid = len(effs) // 2
+    if len(effs) % 2:
+        return effs[mid]
+    return round((effs[mid - 1] + effs[mid]) / 2, 3)
 
 
 def _probe(script: str, *args: str) -> dict:
@@ -157,7 +175,9 @@ def main() -> None:
 
     queries: dict[str, float] = {}
     small_cores = max(2, CPUS // 4)
-    n_rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "1"))
+    # clamped: 0 rounds would leave _pick() with an empty sequence and kill
+    # the whole bench before any query ran (round-4 advice)
+    n_rounds = max(1, int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "1")))
     do_scaling = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
 
     # SYMMETRIC in-process repeat budgets (round-3 advice: asymmetric
@@ -179,27 +199,36 @@ def main() -> None:
         for _ in range(n_rounds):
             rounds.append(_paired_round(small_cores, scale_repeats))
 
+        def _usable(r: dict) -> bool:
+            # both levels externally quiet AND a stable window (bookend
+            # drift meter <= 12%)
+            return bool(r["quiet"] and r["window_drift"] <= 0.12)
+
         def _pick(rs: list[dict]) -> dict:
-            # a usable round has both levels quiet AND a stable window
-            # (drift meter <= 12%); among usable rounds take the highest
-            # efficiency — the same logic as best-of-N repeats: contention
-            # and mid-round state drift only corrupt a ratio, and the
-            # bookend probes make the corruption visible
-            ok = [r for r in rs if r["quiet"] and r["window_drift"] <= 0.12]
+            # among usable rounds take the highest efficiency — the same
+            # logic as best-of-N repeats: contention and mid-round state
+            # drift only corrupt a ratio, and the bookend probes make the
+            # corruption visible. Falling back to a contaminated round
+            # happens ONLY when no usable round exists after the bounded
+            # retries below, and the artifact says so (pick_is_usable).
+            ok = [r for r in rs if _usable(r)]
             return max(ok or rs, key=lambda r: r["efficiency"])
 
         pick = _pick(rounds)
         # bounded retry (replaces the r03 ceiling-gate): append up to 2
-        # extra paired rounds while the gate is unmet — the same discipline
-        # as the contended-sample retries (a bad draw is re-sampled, never
-        # hidden: every round stays in the artifact, and the pick rule is
-        # fixed up front). Also wall-bounded: a round at the 6M default is
-        # ~40 min, and the bench must leave room for the query/ann/code
-        # sections whatever the host draws.
+        # extra paired rounds while the gate is unmet OR the current pick
+        # is contaminated — the round-4 headline (0.927) came from a
+        # quiet=false round that happened to clear the gate, so a lucky
+        # contaminated draw must trigger a re-sample exactly like a low
+        # one (a bad draw is re-sampled, never hidden: every round stays
+        # in the artifact, and the pick rule is fixed up front). Also
+        # wall-bounded: a round at the 6M default is ~40 min, and the
+        # bench must leave room for the query/ann/code sections whatever
+        # the host draws.
         extra = 0
         budget_s = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET_S", "5400"))
         while (
-            pick["efficiency"] < 0.8
+            (pick["efficiency"] < 0.8 or not _usable(pick))
             and extra < 2
             and time.time() - t_scaling0 < budget_s
         ):
@@ -341,6 +370,14 @@ def main() -> None:
             "throughput_small_rps": pick["throughput_small_rps"],
             "throughput_big_rps": pick["throughput_big_rps"],
             "efficiency": eff,
+            # artifact honesty (round-4 advice): whether the headlined
+            # round satisfied the usability rule, how many rounds were
+            # bought by the gate-triggered retry ladder (optional stopping
+            # is visible, not hidden), and the median over usable rounds
+            # as the selection-free companion estimate
+            "pick_is_usable": _usable(pick),
+            "retry_rounds_added": extra,
+            "efficiency_median_usable": _median_eff(rounds),
             "rounds": rounds,
             "alu_probe": alu_probe,
             "host_ceiling_efficiency": ceiling,

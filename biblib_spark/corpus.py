@@ -73,7 +73,21 @@ def n_variants(w: int, seed: int) -> int:
     return 4
 
 
-def _work_fields(w: int, seed: int) -> dict:
+#: planted mega-block profile (C7 skew stress): works whose hash falls under
+#: ``frac`` share ONE year and ONE boilerplate title — the "mega-journal /
+#: boilerplate title" hot key of the north_rule. DOIs stay per-work so the
+#: stress lands on the similarity tiers' buckets, not the C1 identity tier.
+MEGA_TITLE = (
+    "Proceedings of the annual meeting abstracts supplement"
+)
+MEGA_YEAR = 2015
+
+
+def _is_mega(w: int, seed: int, frac: float) -> bool:
+    return frac > 0 and _h(seed, "mega", w) % 100_000 < int(frac * 100_000)
+
+
+def _work_fields(w: int, seed: int, mega_frac: float = 0.0) -> dict:
     h = _h(seed, "work", w)
     nw = 5 + h % 5
     words = [_WORDS[_h(seed, "tw", w, i) % len(_WORDS)] for i in range(nw)]
@@ -91,6 +105,9 @@ def _work_fields(w: int, seed: int) -> dict:
         f"{chr(65 + _h(seed, 'gi', w, i) % 26)}."
         for i in range(n_auth)
     ]
+    if _is_mega(w, seed, mega_frac):
+        title = MEGA_TITLE
+        year = MEGA_YEAR
     return {
         "title": title,
         "year": year,
@@ -104,9 +121,9 @@ def _work_fields(w: int, seed: int) -> dict:
     }
 
 
-def _variant_fields(w: int, k: int, seed: int) -> dict:
+def _variant_fields(w: int, k: int, seed: int, mega_frac: float = 0.0) -> dict:
     """Apply the variant-k perturbations to work w's canonical fields."""
-    f = dict(_work_fields(w, seed))
+    f = dict(_work_fields(w, seed, mega_frac))
     if k == 1:
         f["title"] = f["title"].upper() + "."  # normalizes identically (N2)
         f["volume"] = None
@@ -133,8 +150,8 @@ def _variant_fields(w: int, k: int, seed: int) -> dict:
     return f
 
 
-def _ris_record(w: int, k: int, seed: int) -> str:
-    f = _variant_fields(w, k, seed)
+def _ris_record(w: int, k: int, seed: int, mega_frac: float = 0.0) -> str:
+    f = _variant_fields(w, k, seed, mega_frac)
     lines = ["TY  - JOUR", f"TI  - {f['title']}"]
     for a in f["authors"]:
         lines.append(f"AU  - {a}")
@@ -156,8 +173,8 @@ def _ris_record(w: int, k: int, seed: int) -> str:
     return "\n".join(lines)
 
 
-def _pubmed_record(w: int, k: int, seed: int) -> str:
-    f = _variant_fields(w, k, seed)
+def _pubmed_record(w: int, k: int, seed: int, mega_frac: float = 0.0) -> str:
+    f = _variant_fields(w, k, seed, mega_frac)
     lines = [f"PMID- {90000000 + w * SLOTS_PER_WORK + k}", f"TI  - {f['title']}"]
     for a in f["authors"]:
         lines.append(f"FAU - {a}")
@@ -183,7 +200,9 @@ def payload_format(p: int) -> str:
     return "RIS" if p % 2 == 0 else "PubMed"
 
 
-def payload_text(p: int, records_per_payload: int, seed: int) -> str:
+def payload_text(
+    p: int, records_per_payload: int, seed: int, mega_frac: float = 0.0
+) -> str:
     """Payload for index ``p`` — records are the existing slots in the global
     slot range [p*rpp, (p+1)*rpp), serialized in the payload's format."""
     fmt = payload_format(p)
@@ -192,13 +211,18 @@ def payload_text(p: int, records_per_payload: int, seed: int) -> str:
         w, k = divmod(slot, SLOTS_PER_WORK)
         if k < n_variants(w, seed):
             records.append(
-                _ris_record(w, k, seed) if fmt == "RIS" else _pubmed_record(w, k, seed)
+                _ris_record(w, k, seed, mega_frac)
+                if fmt == "RIS"
+                else _pubmed_record(w, k, seed, mega_frac)
             )
     return "\n\n".join(records) + ("\n" if records else "")
 
 
 def _gen_partition(
-    batches: Iterator[pd.DataFrame], records_per_payload: int, seed: int
+    batches: Iterator[pd.DataFrame],
+    records_per_payload: int,
+    seed: int,
+    mega_frac: float = 0.0,
 ) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         rows = []
@@ -206,7 +230,7 @@ def _gen_partition(
             p = int(p)
             fmt = payload_format(p)
             ext = "ris" if fmt == "RIS" else "nbib"
-            content = payload_text(p, records_per_payload, seed)
+            content = payload_text(p, records_per_payload, seed, mega_frac)
             commit = hashlib.sha256(f"c{seed}-{p}".encode()).hexdigest()[:40]
             rows.append(
                 {
@@ -227,12 +251,18 @@ def make_corpus(
     records_per_payload: int = 6,
     seed: int = 42,
     partitions: int | None = None,
+    mega_frac: float = 0.0,
 ) -> DataFrame:
-    """Distributed deterministic corpus of ``num_payloads`` RIS payloads."""
+    """Distributed deterministic corpus of ``num_payloads`` RIS payloads.
+
+    ``mega_frac`` > 0 plants the C7 skew stress: that fraction of works
+    share one boilerplate title + one year (``MEGA_TITLE``/``MEGA_YEAR``),
+    concentrating their records into a single similarity-tier hot bucket.
+    """
     if partitions is None:
         partitions = max(8, spark.sparkContext.defaultParallelism)
     rng = spark.range(0, num_payloads, numPartitions=partitions)
     return rng.mapInPandas(
-        lambda it: _gen_partition(it, records_per_payload, seed),
+        lambda it: _gen_partition(it, records_per_payload, seed, mega_frac),
         schema=CORPUS_SCHEMA,
     )

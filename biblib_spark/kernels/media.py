@@ -30,7 +30,11 @@ the public PNG specification (ISO/IEC 15948); WAV per RIFF/WAVE.
 from __future__ import annotations
 
 import hashlib
+import os
+import shutil
 import struct
+import subprocess
+import tempfile
 import zlib
 
 import numpy as np
@@ -241,6 +245,113 @@ def synth_media_row(i: int, seed: int = 42) -> dict:
 
 
 # --------------------------------------------------------------------------
+# Capability probes: the sandbox has no ffmpeg/PIL, a real cluster usually
+# does. Each probe runs ONCE per process (each executor's Python workers
+# probe independently — cheap, and no driver-side state to ship). The
+# feature schema is IDENTICAL with or without the capability; only
+# ``decoded`` and the derived numeric fields change.
+# --------------------------------------------------------------------------
+
+_VIDEO_DECODER: str | None | bool = False  # False = not probed yet
+
+
+def video_decoder() -> str | None:
+    """'ffmpeg' if a working ffmpeg binary is on PATH, else None.
+
+    Gates the mp4 path: with ffmpeg, frames are really decoded
+    (``decode_video_frames``); without it, video items keep the honest
+    ``decoded=false`` content-hash fallback. Probe result is cached for
+    the process lifetime. Set SPARK_GRAFT_NO_FFMPEG=1 to force the
+    fallback even where ffmpeg exists (determinism escape hatch: frame
+    decode output can differ across ffmpeg builds)."""
+    global _VIDEO_DECODER
+    if _VIDEO_DECODER is False:
+        _VIDEO_DECODER = None
+        if os.environ.get("SPARK_GRAFT_NO_FFMPEG") != "1":
+            exe = shutil.which("ffmpeg")
+            if exe is not None:
+                try:
+                    subprocess.run(
+                        [exe, "-version"], capture_output=True, timeout=10,
+                        check=True,
+                    )
+                    _VIDEO_DECODER = "ffmpeg"
+                except (OSError, subprocess.SubprocessError):
+                    pass
+    return _VIDEO_DECODER
+
+
+def _pil_module():
+    """PIL.Image if importable, else None — used only for image formats the
+    pure-numpy PNG codec does not cover (JPEG, 16-bit/paletted PNG, ...)."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
+def _split_png_stream(stream: bytes) -> list[bytes]:
+    """ffmpeg's image2pipe concatenates PNGs back-to-back; split on the
+    8-byte signature."""
+    out = []
+    start = stream.find(_PNG_SIG)
+    while start != -1:
+        nxt = stream.find(_PNG_SIG, start + 8)
+        out.append(stream[start:] if nxt == -1 else stream[start:nxt])
+        start = nxt
+    return out
+
+
+def decode_video_frames(
+    data: bytes, max_frames: int = 8, timeout_s: float = 60.0
+) -> list[np.ndarray] | None:
+    """Up to ``max_frames`` evenly-spread frames as (H, W, 3) uint8 arrays,
+    or None when no decoder is available / the item is undecodable.
+
+    ffmpeg emits PNGs over a pipe (``-f image2pipe -vcodec png``) and the
+    pure-numpy PNG codec above parses them — no PIL needed even on the
+    decode path. The blob goes through a temp file because mp4 needs a
+    seekable input (moov atom can trail the data)."""
+    if video_decoder() is None:
+        return None
+    tmp = tempfile.NamedTemporaryFile(suffix=".bin", delete=False)
+    try:
+        tmp.write(data)
+        tmp.close()
+        proc = subprocess.run(
+            [
+                "ffmpeg", "-v", "error", "-i", tmp.name,
+                # thumbnail-ish spread: decimate to ~max_frames via select
+                "-vf", f"select='not(mod(n\\,{max(1, 30 // max_frames)}))'",
+                "-frames:v", str(max_frames), "-vsync", "vfr",
+                "-f", "image2pipe", "-vcodec", "png", "-",
+            ],
+            capture_output=True, timeout=timeout_s,
+        )
+        if proc.returncode != 0 or not proc.stdout:
+            return None
+        frames = []
+        for png in _split_png_stream(proc.stdout):
+            try:
+                px = decode_png(png)
+            except ValueError:
+                continue
+            if px.shape[2] == 1:
+                px = np.repeat(px, 3, axis=2)
+            frames.append(px[:, :, :3])
+        return frames or None
+    except (OSError, subprocess.SubprocessError):
+        return None
+    finally:
+        try:
+            os.unlink(tmp.name)
+        except OSError:
+            pass
+
+
+# --------------------------------------------------------------------------
 # Feature kernel (shared by UDF, fixture, tests)
 # --------------------------------------------------------------------------
 
@@ -298,7 +409,19 @@ def media_feature_row(kind: str, data: bytes) -> dict:
     }
     try:
         if kind == "image":
-            px = decode_png(data)
+            try:
+                px = decode_png(data)
+            except ValueError:
+                # formats outside the pure-numpy codec's subset (JPEG,
+                # 16-bit / paletted PNG, ...): PIL if the cluster has it,
+                # else fall through to the labeled content-hash embedding
+                pil = _pil_module()
+                if pil is None:
+                    raise
+                import io  # noqa: PLC0415
+
+                img = pil.open(io.BytesIO(data)).convert("RGB")
+                px = np.asarray(img, dtype=np.uint8)
             h, w, c = px.shape
             f = px.astype(np.float64)
             luma = (
@@ -329,7 +452,31 @@ def media_feature_row(kind: str, data: bytes) -> dict:
                 embedding=[float(x) for x in _center_unit(env)],
             )
             return out
-    except (ValueError, struct.error, zlib.error):
+        if kind == "video":
+            frames = decode_video_frames(data)
+            if frames:
+                lumas = [
+                    0.299 * f[:, :, 0].astype(np.float64)
+                    + 0.587 * f[:, :, 1].astype(np.float64)
+                    + 0.114 * f[:, :, 2].astype(np.float64)
+                    for f in frames
+                ]
+                h, w = lumas[0].shape
+                embs = np.stack([_block_mean_8x8(lm) for lm in lumas])
+                out.update(
+                    width=w, height=h,
+                    mean_luma=round(
+                        float(np.mean([lm.mean() for lm in lumas])), 4
+                    ),
+                    decoded=True,
+                    embedding=[
+                        float(x) for x in _center_unit(embs.mean(axis=0))
+                    ],
+                )
+                return out
+            # no ffmpeg on this host (the sandbox), or the item is not a
+            # decodable video: the honest labeled fallback below
+    except (ValueError, struct.error, zlib.error, OSError):
         pass  # undecodable item falls through to the content-hash embedding
     out["embedding"] = [float(x) for x in _fake_embedding(data)]
     return out

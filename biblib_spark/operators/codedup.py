@@ -369,15 +369,25 @@ def minhash_candidate_pairs(
     min_bands: int = MINHASH_MIN_BANDS,
 ) -> DataFrame:
     """Tier M candidates: the precomputed banded LSH keys (code_features),
-    lang prepended into the bucket key, one star-capped self-join (C5+C7),
+    lang fused into the bucket key, one star-capped self-join (C5+C7),
     admitted at >= ``min_bands`` shared bands (collision counting — see the
     band-config note above; the count also replaces the pair-dedup
     distinct). Star-capped mega buckets emit only rep-star pairs, so a pair
     buried in >max_bucket-member buckets can undercount — those buckets are
     degenerate (boilerplate / near-empty token streams) and their members
-    are connected by the exact/normalized tiers instead."""
-    keyed = feat.select("rid", "lang", F.explode("bkeys").alias("bkey"))
-    pairs = self_join_pairs(keyed, ["lang", "bkey"], max_bucket)
+    are connected by the exact/normalized tiers instead.
+
+    The bucket key is ``xxhash64(lang, band_key)`` rather than the
+    (lang-string, band-key) composite: the exploded key table is the
+    job's largest shuffle (files x 48 bands rows), and dropping the
+    string halves its row width — round-5 bandwidth diet. A 2^-64 key
+    collision merges two unrelated buckets, which only adds candidates
+    that the exact-Jaccard verify then rejects; admission semantics are
+    otherwise identical."""
+    keyed = feat.select(
+        "rid", "lang", F.explode("bkeys").alias("bk")
+    ).select("rid", F.xxhash64("lang", "bk").alias("bkey"))
+    pairs = self_join_pairs(keyed, ["bkey"], max_bucket)
     return (
         pairs.groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("shared_bands"))
@@ -409,28 +419,41 @@ def jaccard_verified_pairs(
     )
 
 
+def winnow_candidate_pairs(
+    feat: DataFrame,
+    max_bucket: int = MAX_BUCKET,
+    min_shared: int = WINNOW_MIN_SHARED,
+) -> DataFrame:
+    """Tier W candidates: >= ``min_shared`` shared winnowed fingerprints
+    (precomputed in code_features), same star-capped self-join and the
+    same lang-fused long key as the band tier (bandwidth diet — the fp
+    explode is the job's second-largest shuffle)."""
+    keyed = feat.select(
+        "rid", "lang", F.explode("wfps").alias("f")
+    ).select("rid", F.xxhash64("lang", "f").alias("fp"))
+    return (
+        self_join_pairs(keyed, ["fp"], max_bucket)
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+        .select("a", "b")
+    )
+
+
 def containment_verified_pairs(
     feat: DataFrame,
     max_bucket: int = MAX_BUCKET,
     min_shared: int = WINNOW_MIN_SHARED,
     threshold: float = CONTAINMENT_THRESHOLD,
 ) -> DataFrame:
-    """Tier W: winnowed-fingerprint candidates (precomputed in
-    code_features) verified by token-gram containment
-    |A∩B| / min(|A|,|B|) >= threshold.
+    """Tier W: winnowed-fingerprint candidates verified by token-gram
+    containment |A∩B| / min(|A|,|B|) >= threshold.
 
     The containment coefficient is the right statistic for embedded copies:
     a file pasted wholesale into one twice its size has containment ~1.0
     while its Jaccard is ~0.5 and falling with the host's growth.
     """
-    keyed = feat.select("rid", "lang", F.explode("wfps").alias("fp"))
-    cand = (
-        self_join_pairs(keyed, ["lang", "fp"], max_bucket)
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("shared"))
-        .filter(F.col("shared") >= min_shared)
-        .select("a", "b")
-    )
+    cand = winnow_candidate_pairs(feat, max_bucket, min_shared)
     g = feat.select("rid", "grams")
     a = g.select(F.col("rid").alias("a"), F.col("grams").alias("a_g"))
     b = g.select(F.col("rid").alias("b"), F.col("grams").alias("b_g"))
@@ -446,14 +469,44 @@ def containment_verified_pairs(
 
 
 def code_dup_edges(feat: DataFrame) -> DataFrame:
-    """All-tier duplicate edges (a < b), deduplicated across tiers (C5)."""
+    """All-tier duplicate edges (a < b), deduplicated across tiers (C5).
+
+    The two similarity tiers verify through ONE shared gram join: their
+    candidate sets are unioned with tier flags, merged per pair, joined
+    against (rid, grams) once, and filtered per-tier — each tier's
+    admission and threshold are byte-identical to the standalone
+    :func:`jaccard_verified_pairs` / :func:`containment_verified_pairs`
+    (which the oracle queries still exercise), but the ~4 KB-per-row gram
+    payload crosses the shuffle once instead of twice — the single
+    largest bandwidth term in the 6.1M-file profile (round-5)."""
     e = _star_edges(feat, "sha")
     n = _star_edges(feat, "norm_hash")
-    cand = minhash_candidate_pairs(feat)
-    m = jaccard_verified_pairs(feat, cand).select("a", "b")
-    w = containment_verified_pairs(feat).select("a", "b")
+    cand = (
+        minhash_candidate_pairs(feat)
+        .withColumn("tm", F.lit(True)).withColumn("tw", F.lit(False))
+        .unionByName(
+            winnow_candidate_pairs(feat)
+            .withColumn("tm", F.lit(False)).withColumn("tw", F.lit(True))
+        )
+        .groupBy("a", "b")
+        .agg(F.max("tm").alias("tm"), F.max("tw").alias("tw"))
+    )
+    g = feat.select("rid", "grams")
+    a = g.select(F.col("rid").alias("a"), F.col("grams").alias("a_g"))
+    b = g.select(F.col("rid").alias("b"), F.col("grams").alias("b_g"))
+    i = F.size(F.array_intersect("a_g", "b_g"))
+    jac = i / (F.size("a_g") + F.size("b_g") - i)
+    cont = i / F.least(F.size("a_g"), F.size("b_g"))
+    mw = (
+        cand.join(a, "a").join(b, "b")
+        .filter(
+            (F.col("tm") & (F.round(jac, 4) >= F.lit(JACCARD_THRESHOLD)))
+            | (F.col("tw") & (F.round(cont, 4) >= F.lit(CONTAINMENT_THRESHOLD)))
+        )
+        .select("a", "b")
+    )
     return (
-        e.unionByName(n).unionByName(m).unionByName(w)
+        e.unionByName(n).unionByName(mw)
         .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
         .distinct()
     )
@@ -492,7 +545,12 @@ def code_dup_clusters(
     if materialize == "parquet":
         from biblib_spark.plans.spill import spill_to_parquet
 
-        feat, _ = spill_to_parquet(feat, "code-features")
+        # ctoks (the canonical token text, ~content-sized) exists for the
+        # oracle fixtures and the resumable pipeline's feature artifact —
+        # no clustering tier reads it, and parquet spill is a WRITE of every
+        # column (pruning only helps readers), so it would be the single
+        # largest core-count-independent I/O term in the job for nothing
+        feat, _ = spill_to_parquet(feat.drop("ctoks"), "code-features")
     else:
         feat = feat.localCheckpoint(eager=True)
     return clusters_from_edges(feat, code_dup_edges(feat))

@@ -4,10 +4,15 @@ A 100 TB training-data pipeline treats media as ``binary`` columns with a
 metadata struct; decode/feature-extraction runs as Arrow-batched
 ``mapInPandas``. The decode is REAL for PNG and WAV — a pure numpy + stdlib
 zlib codec (kernels/media.py), no PIL/ffmpeg needed — and an honestly
-labeled deterministic fake only for kinds with no in-container parser
-(video/mp4): those items get ``decoded = false`` and a content-hash
-embedding. Swapping in PIL/ffmpeg on a real cluster replaces one kernel
-function behind the same UDF signature and batch shape.
+labeled deterministic fake only for kinds with no in-container parser.
+Video is gated behind a per-process capability probe
+(kernels/media.py:video_decoder): on a cluster with ffmpeg, frames are
+really decoded (PNG-over-pipe, parsed by the same numpy codec) and
+``decoded = true``; in this sandbox the probe finds nothing and those
+items keep ``decoded = false`` with a content-hash embedding. The feature
+schema is identical on both paths — swapping capability changes values,
+never shape. Images outside the numpy codec's subset (JPEG, 16-bit PNG)
+similarly use PIL iff importable.
 
 Feature rows are DuckDB-oracle-checked against a fixture built by the SAME
 kernel (fixtures.ensure_media_fixture — the codefixtures.py pattern), so

@@ -39,6 +39,8 @@ from __future__ import annotations
 
 import json
 import os
+import random
+import re
 import time
 import uuid
 
@@ -100,12 +102,34 @@ class IceTable:
         return os.path.join(self.meta_dir, f"v{version}.metadata.json")
 
     def current_version(self) -> int:
-        """0 = table does not exist yet."""
+        """0 = table does not exist yet.
+
+        The hard-link of v<N>.metadata.json is the commit point; the hint
+        file is only a hint (Iceberg semantics). Reconciling with the
+        directory listing means a writer that died between link and hint
+        swap still counts as committed instead of wedging every later
+        commit into a version conflict against an invisible winner."""
+        hint = 0
         try:
             with open(self._hint_path()) as f:
-                return int(f.read().strip())
+                hint = int(f.read().strip())
         except (FileNotFoundError, ValueError):
-            return 0
+            pass
+        try:
+            names = os.listdir(self.meta_dir)
+        except OSError:
+            return hint
+        on_disk = max(
+            (
+                int(m.group(1))
+                for m in (
+                    re.fullmatch(r"v(\d+)\.metadata\.json", n) for n in names
+                )
+                if m
+            ),
+            default=0,
+        )
+        return max(hint, on_disk)
 
     def snapshot(self, version: int | None = None) -> dict:
         v = self.current_version() if version is None else version
@@ -115,24 +139,38 @@ class IceTable:
             return json.load(f)
 
     def snapshots(self) -> list[dict]:
-        """All committed snapshot headers, oldest first (time-travel index)."""
-        out = []
-        v = 1
-        while os.path.exists(self._meta_path(v)):
-            out.append(self.snapshot(v))
-            v += 1
-        return out
+        """All committed snapshot headers, oldest first (time-travel index).
+
+        Scans the metadata dir instead of counting up from v1: after
+        ``expire_snapshots`` the oldest surviving version is > 1, and a
+        v1-anchored walk would report an empty table — silently disabling
+        the streaming sink's batch-id replay dedup, which rebuilds its
+        idempotency set from these headers (streaming/stateful.py)."""
+        try:
+            names = os.listdir(self.meta_dir)
+        except OSError:
+            return []
+        versions = sorted(
+            int(m.group(1))
+            for m in (re.fullmatch(r"v(\d+)\.metadata\.json", n) for n in names)
+            if m
+        )
+        return [self.snapshot(v) for v in versions]
 
     # ---- commit protocol ---------------------------------------------------
 
     def _commit(self, manifest: list[dict], operation: str,
-                summary: dict | None = None, retries: int = 5) -> dict:
+                summary: dict | None = None, retries: int = 5,
+                schema_json: str | None = None) -> dict:
         os.makedirs(self.meta_dir, exist_ok=True)
-        for _ in range(retries):
+        for attempt in range(retries):
             parent = self.current_version()
             version = parent + 1
             if operation == "append" and parent > 0:
-                base = self.snapshot(parent)["manifest"]
+                base_snap = self.snapshot(parent)
+                base = base_snap["manifest"]
+                if schema_json is None:
+                    schema_json = base_snap.get("schema")
             else:
                 base = []
             snap = {
@@ -140,24 +178,38 @@ class IceTable:
                 "parent": parent or None,
                 "operation": operation,
                 "committed_at": time.time(),
+                "schema": schema_json,
                 "manifest": base + manifest,
                 "rows": sum(e["rows"] for e in base) + sum(e["rows"] for e in manifest),
                 "summary": summary or {},
             }
-            try:
-                # O_EXCL is the whole concurrency story: exactly one writer
-                # creates v<N>; the loser re-reads the new current version
-                # and replays its commit on top (Iceberg optimistic retry)
-                fd = os.open(self._meta_path(version),
-                             os.O_WRONLY | os.O_CREAT | os.O_EXCL)
-            except FileExistsError:
-                continue
-            with os.fdopen(fd, "w") as f:
-                json.dump(snap, f)
-            tmp = self._hint_path() + f".{uuid.uuid4().hex}"
+            # write-then-link: the snapshot json is fully written under a
+            # temp name first, and the version is CLAIMED by hard-linking it
+            # to v<N>.metadata.json — os.link fails (EEXIST) iff the version
+            # is taken, giving O_EXCL's exactly-one-winner guarantee without
+            # its failure mode: a writer that dies mid-json can only leave a
+            # .tmp orphan (never a torn v<N> that would wedge every later
+            # commit with FileExistsError and every read with
+            # JSONDecodeError). The tmp name is not matched by snapshots()'s
+            # v<N> pattern, so orphans are invisible to readers.
+            tmp = self._meta_path(version) + f".tmp.{uuid.uuid4().hex}"
             with open(tmp, "w") as f:
+                json.dump(snap, f)
+            try:
+                os.link(tmp, self._meta_path(version))
+            except FileExistsError:
+                # lost the race: re-read the new current version and replay
+                # on top (Iceberg optimistic retry); brief jitter so a
+                # thundering herd of losers doesn't spuriously exhaust the
+                # retry budget while the winner is between link and hint swap
+                os.unlink(tmp)
+                time.sleep(random.uniform(0.01, 0.05) * (attempt + 1))
+                continue
+            os.unlink(tmp)
+            hint_tmp = self._hint_path() + f".{uuid.uuid4().hex}"
+            with open(hint_tmp, "w") as f:
                 f.write(str(version))
-            os.replace(tmp, self._hint_path())  # atomic swap
+            os.replace(hint_tmp, self._hint_path())  # atomic swap
             return snap
         raise CommitConflict(f"{self.dir}: lost {retries} commit races")
 
@@ -172,12 +224,14 @@ class IceTable:
 
     def append(self, df: DataFrame, summary: dict | None = None) -> dict:
         """Atomically add ``df``'s rows to the table (streaming edge-log shape)."""
-        return self._commit(self._write_data(df), "append", summary)
+        return self._commit(self._write_data(df), "append", summary,
+                            schema_json=df.schema.json())
 
     def overwrite(self, df: DataFrame, summary: dict | None = None) -> dict:
         """Atomically replace table contents (stage-output shape). Old data
         files stay on disk for time travel until ``expire_snapshots``."""
-        return self._commit(self._write_data(df), "overwrite", summary)
+        return self._commit(self._write_data(df), "overwrite", summary,
+                            schema_json=df.schema.json())
 
     # ---- reads ---------------------------------------------------------------
 
@@ -187,7 +241,22 @@ class IceTable:
         snap = self.snapshot(version)
         files = [e["path"] for e in snap["manifest"]]
         if not files:
-            raise ValueError(f"{self.dir}: snapshot v{snap['version']} is empty")
+            # a legal state, not an error: e.g. a stage whose output is
+            # genuinely empty, or an edge log whose only microbatches were
+            # empty — the snapshot carries the writer's schema so the
+            # reader gets the same typed (empty) DataFrame the parquet
+            # checkpoint path would produce
+            schema_json = snap.get("schema")
+            if schema_json:
+                from pyspark.sql.types import StructType
+
+                return spark.createDataFrame(
+                    [], StructType.fromJson(json.loads(schema_json))
+                )
+            raise ValueError(
+                f"{self.dir}: snapshot v{snap['version']} is empty and "
+                "records no schema (pre-schema table version)"
+            )
         return spark.read.parquet(*files)
 
     def verify(self, spark: SparkSession, version: int | None = None) -> list[str]:
@@ -209,21 +278,40 @@ class IceTable:
                 # .crc checksum mismatch) — probe per-file to name the culprit
                 for p in live:
                     try:
-                        actual[p] = _file_stats(spark.read.parquet(p))[0]
+                        stats = _file_stats(spark.read.parquet(p))
+                        # a readable but zero-row file can never match its
+                        # manifest entry (entries only exist for files that
+                        # had rows at commit) — report the truncation
+                        # instead of crashing the probe on stats[0]
+                        actual[p] = (
+                            stats[0]
+                            if stats
+                            else {"path": p, "rows": 0, "hxor": 0}
+                        )
                     except Exception as exc:
                         problems.append(
                             f"unreadable data file {p}: {type(exc).__name__}"
                         )
-        if actual:
-            for path, exp in expected.items():
-                got = actual.get(path)
-                if got is not None and (got["rows"], got["hxor"]) != (
-                    exp["rows"], exp["hxor"]
-                ):
+        for path, exp in expected.items():
+            if path in missing:
+                continue
+            got = actual.get(path)
+            if got is None:
+                # readable but contributed NO rows to the scan: a file
+                # truncated/emptied to a valid zero-row parquet —
+                # _file_stats groups by input_file_name, so such a file
+                # silently vanishes from the batch scan's stats and a
+                # presence-only comparison would pass it
+                if not any(path in p for p in problems):
                     problems.append(
-                        f"data file {path}: rows {got['rows']}/{exp['rows']},"
-                        f" hxor {got['hxor']}/{exp['hxor']}"
+                        f"data file {path}: rows 0/{exp['rows']},"
+                        f" hxor 0/{exp['hxor']}"
                     )
+            elif (got["rows"], got["hxor"]) != (exp["rows"], exp["hxor"]):
+                problems.append(
+                    f"data file {path}: rows {got['rows']}/{exp['rows']},"
+                    f" hxor {got['hxor']}/{exp['hxor']}"
+                )
         return problems
 
     # ---- maintenance ---------------------------------------------------------
@@ -240,7 +328,11 @@ class IceTable:
             keep_files.update(e["path"] for e in self.snapshot(v)["manifest"])
         deleted = []
         for v in range(1, cutoff):
-            for e in self.snapshot(v)["manifest"]:
+            try:
+                manifest = self.snapshot(v)["manifest"]
+            except FileNotFoundError:
+                continue  # already expired by an earlier sweep
+            for e in manifest:
                 p = e["path"]
                 if p not in keep_files and os.path.exists(p):
                     os.remove(p)

@@ -30,17 +30,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 WARMUP_PAYLOADS = 30_000  # big enough that AQE keeps the shuffled-join plans
 
 
-def _corpus_path(spark, num_payloads: int, seed: int) -> str:
+def _corpus_path(
+    spark, num_payloads: int, seed: int, mega_frac: float = 0.0
+) -> str:
     from biblib_spark.corpus import make_corpus
 
     # SPARK_GRAFT_CORPUS_DIR relocates the input (e.g. /dev/shm vs /tmp) for
     # the page-cache-pressure A/B — same bytes, different backing store
     base = os.environ.get("SPARK_GRAFT_CORPUS_DIR", "/tmp")
-    path = f"{base}/biblib_corpus_v5_{num_payloads}_{seed}.parquet"
+    tag = f"_mega{int(mega_frac * 1000)}" if mega_frac > 0 else ""
+    path = f"{base}/biblib_corpus_v5_{num_payloads}_{seed}{tag}.parquet"
     if not os.path.exists(path):
-        make_corpus(spark, num_payloads, records_per_payload=6, seed=seed).write.mode(
-            "overwrite"
-        ).parquet(path)
+        make_corpus(
+            spark, num_payloads, records_per_payload=6, seed=seed,
+            mega_frac=mega_frac,
+        ).write.mode("overwrite").parquet(path)
     return path
 
 
@@ -103,8 +107,12 @@ def main() -> None:
 
     # materialize the input table first — the north_rule pipeline reads an
     # Iceberg/parquet table, so input synthesis is not part of the measured
-    # clustering window
-    main_path = _corpus_path(spark, num_payloads, seed)
+    # clustering window. SPARK_GRAFT_MEGA_FRAC > 0 plants the C7 skew
+    # stress (corpus.MEGA_TITLE/MEGA_YEAR hot block at that work fraction);
+    # the warmup corpus stays uniform — its job is plan-shape JIT, and the
+    # cached uniform parquet is reused across arms
+    mega_frac = float(os.environ.get("SPARK_GRAFT_MEGA_FRAC", "0"))
+    main_path = _corpus_path(spark, num_payloads, seed, mega_frac)
     _touch_pages(main_path)
     corpus = spark.read.parquet(main_path)
     warm = spark.read.parquet(_corpus_path(spark, WARMUP_PAYLOADS, seed))

@@ -244,3 +244,117 @@ def test_read_table_or_parquet_sniffs_format(spark, tmp_path):
     _df(spark, 0, 4).write.parquet(pq_dir)
     assert read_table_or_parquet(spark, ice_dir).count() == 7
     assert read_table_or_parquet(spark, pq_dir).count() == 4
+
+
+# ---- round-5 hardening: expiry-safe history, torn commits, empty stages ----
+
+
+def test_snapshots_survive_expiry(spark, table):
+    """snapshots() must list the SURVIVING history after expire_snapshots —
+    a v1-anchored walk would return [] (v1 is gone) and silently disable
+    the streaming sink's batch-id replay dedup, which rebuilds its
+    idempotency set from these headers."""
+    table.append(_df(spark, 0, 3), summary={"batch_id": 0})
+    table.append(_df(spark, 3, 6), summary={"batch_id": 1})
+    table.append(_df(spark, 6, 9), summary={"batch_id": 2})
+    table.expire_snapshots(keep_last=2)
+    snaps = table.snapshots()
+    assert [s["version"] for s in snaps] == [2, 3]
+    committed = {s["summary"].get("batch_id") for s in snaps}
+    assert committed == {1, 2}  # batch 2's replay guard survives expiry
+
+
+def test_torn_metadata_crash_cannot_wedge_table(spark, table):
+    """A writer that dies mid-commit must leave either nothing or a
+    complete snapshot — never a partial v<N>.metadata.json that makes every
+    later commit a version conflict and every read a JSONDecodeError."""
+    table.append(_df(spark, 0, 4))
+    # crashed writer's leftovers: a partial TEMP file (the only artifact
+    # the write-then-link protocol can abandon mid-json)
+    orphan = table._meta_path(2) + ".tmp.deadbeef"
+    with open(orphan, "w") as f:
+        f.write('{"version": 2, "par')  # torn json
+    # invisible to readers and harmless to the next committer
+    assert [s["version"] for s in table.snapshots()] == [1]
+    snap = table.append(_df(spark, 4, 6))
+    assert snap["version"] == 2
+    assert table.read(spark).count() == 6
+
+
+def test_crash_between_link_and_hint_swap_recovers(spark, table):
+    """The metadata link is the commit point; a stale hint (writer died
+    before the swap) must not wedge later committers into retrying a
+    version that already exists."""
+    table.append(_df(spark, 0, 4))
+    table.append(_df(spark, 4, 7))
+    # simulate the dead winner: v2 metadata exists, hint still says 1
+    with open(table._hint_path(), "w") as f:
+        f.write("1")
+    assert table.current_version() == 2  # reconciled from the directory
+    snap = table.append(_df(spark, 7, 9))
+    assert snap["version"] == 3
+    assert table.read(spark).count() == 9
+
+
+def test_verify_reports_truncated_zero_row_file(spark, table):
+    """A manifest file emptied to a readable zero-row parquet must be
+    reported as drift, not crash the per-file probe (stats[0] IndexError)."""
+    table.append(_df(spark, 0, 20))
+    victim = table.snapshot()["manifest"][0]["path"]
+    empty = _df(spark, 0, 0)
+    tmp = victim + ".swap"
+    empty.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    os.replace(os.path.join(tmp, part), victim)
+    crc = os.path.join(
+        os.path.dirname(victim), "." + os.path.basename(victim) + ".crc"
+    )
+    if os.path.exists(crc):
+        os.remove(crc)
+    problems = table.verify(spark)
+    assert problems
+    assert any("rows 0/" in p or "unreadable" in p for p in problems)
+
+
+def test_empty_commit_reads_back_typed_empty(spark, table):
+    """An all-empty write is a legal commit (empty streaming microbatch /
+    empty stage output): read() must return a typed empty DataFrame from
+    the snapshot's recorded schema instead of raising."""
+    table.append(_df(spark, 0, 0))
+    got = table.read(spark)
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == ["v"]
+    # and a later real append lands on top of it normally
+    table.append(_df(spark, 0, 5))
+    assert table.read(spark).count() == 5
+
+
+def test_run_stage_ice_empty_stage_output(spark, tmp_path):
+    """A stage whose build genuinely returns zero rows must checkpoint and
+    resume like any other stage (the parquet checkpoint path tolerates
+    this; the icetable path must too)."""
+    from biblib_spark.plans.icetable import run_stage_ice
+
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return _df(spark, 0, 0)
+
+    d = str(tmp_path / "stage")
+    lin = {"input_rows": 0}
+    assert run_stage_ice(spark, d, build, lin).count() == 0
+    assert run_stage_ice(spark, d, build, lin).count() == 0  # resume
+    assert calls["n"] == 1
+
+
+def test_repeated_expiry_is_idempotent(spark, table):
+    """A second sweep must skip versions the first one already deleted
+    instead of crashing on the missing metadata file."""
+    table.append(_df(spark, 0, 3))
+    table.append(_df(spark, 3, 6))
+    table.expire_snapshots(keep_last=1)
+    table.append(_df(spark, 6, 9))
+    deleted = table.expire_snapshots(keep_last=1)  # walks over expired v1
+    assert table.read(spark).count() == 9
+    assert all("/data/" in p or os.sep in p for p in deleted)

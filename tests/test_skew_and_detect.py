@@ -337,3 +337,38 @@ def test_flat_candidate_keys_single_scan_identical(spark):
     # duplicate band keys keep their multiplicity (rid 1 has [11, 12, 11])
     lsh_multi = [c for k, c in got.items() if k[2] == 1 and c > 1]
     assert lsh_multi, "duplicate lsh key should appear twice"
+
+
+def test_planted_mega_block_salted_matches_flat(spark):
+    """The round-5 skew-stress corpus (corpus.make_corpus mega_frac: a
+    work fraction shares ONE boilerplate title + ONE year — the hot
+    LSH-bucket shape of the north_rule) must produce IDENTICAL clusters
+    through the flat and salted C7 pair paths, and the mega block itself
+    must cluster (star edges, not dropped pairs)."""
+    from biblib_spark.corpus import MEGA_TITLE, _is_mega, make_corpus
+    from biblib_spark.operators.dedupe import DedupConfig, dedupe_corpus
+
+    # 120 payloads, high mega fraction so the fixture actually contains a
+    # hot block at test scale (~25% of works)
+    corpus = make_corpus(spark, 120, seed=17, mega_frac=0.25)
+    n_mega_works = sum(_is_mega(w, 17, 0.25) for w in range(180))
+    assert n_mega_works >= 20  # the stress exists at this scale
+    assert (
+        corpus.filter(F.col("content").contains(MEGA_TITLE)).count() > 0
+    )
+
+    a = dedupe_corpus(corpus, DedupConfig()).collect()
+    b = dedupe_corpus(corpus, DedupConfig(salted_pairs=True)).collect()
+    assert {(r.rid, r.cluster_id, r.is_unique) for r in a} == {
+        (r.rid, r.cluster_id, r.is_unique) for r in b
+    }
+    # the hot block stresses the CANDIDATE tier only: mega works share
+    # title+year (one giant LSH bucket, star-capped) but keep distinct
+    # DOIs/journals/volumes/pages, so the reference predicate must REJECT
+    # every cross-work pair — no cluster may exceed the per-work variant
+    # cap. A max size above 4 would mean the skew corpus corrupted
+    # correctness, not just load.
+    from collections import Counter
+
+    sizes = Counter(r.cluster_id for r in a)
+    assert max(sizes.values()) <= 4

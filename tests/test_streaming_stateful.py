@@ -212,3 +212,66 @@ def test_incremental_dedup_edge_log_is_snapshot_table(spark):
         assert endpoints <= set(cmap["rid"])
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_restart_recovery_new_session_same_checkpoint(spark):
+    """Kill-and-restart (round-4 verdict ask #7): after a crash that loses
+    the in-memory query AND the derived cluster map — but not the durable
+    state (streaming checkpoint + IceTable edge log) — a NEW Spark session
+    pointed at the same work_dir must (a) not reprocess or double-commit
+    old batches, and (b) rebuild a cluster map identical to the batch
+    CC answer over the full edge log, with cross-batch links intact."""
+    from biblib_spark.operators.components import connected_components
+    from biblib_spark.plans.icetable import IceTable
+
+    work = tempfile.mkdtemp(prefix="stateful_restart_")
+    in_dir = os.path.join(work, "landing")
+    map_path = os.path.join(work, "cluster_map.parquet")
+    try:
+        # --- session 1: first pass over batch 1 ---
+        _write_batch(spark, in_dir, 10, seed=5, offset=0)
+        run_incremental_dedup(spark, in_dir, work, threshold=0.8)
+        log = IceTable(os.path.join(work, "edge_log"))
+        v_after_b1 = log.current_version()
+        batch_ids_b1 = [s["summary"]["batch_id"] for s in log.snapshots()]
+
+        # --- crash: the driver dies after the edge commit but before the
+        # map rebuild finishes; the map is lost, checkpoint + log survive
+        if os.path.exists(map_path):
+            shutil.rmtree(map_path)
+
+        # --- session 2 (restart): same checkpoint dir, same edge log ---
+        spark2 = spark.newSession()
+        _write_batch(spark2, in_dir, 10, seed=5, offset=100_000)  # re-lands
+        run_incremental_dedup(spark2, in_dir, work, threshold=0.8)
+
+        # (a) no double-commits: batch ids are unique across the restart,
+        # and batch 1's snapshots were not re-written
+        all_ids = [s["summary"]["batch_id"] for s in log.snapshots()]
+        assert len(all_ids) == len(set(all_ids))
+        assert all_ids[: len(batch_ids_b1)] == batch_ids_b1
+        assert log.current_version() > v_after_b1  # batch 2 landed
+        assert log.verify(spark2) == []
+
+        # (b) the rebuilt map equals the batch-path answer (the same C6
+        # operator over the full log) — a stale or missing map would differ
+        cmap = dict(
+            pd.read_parquet(map_path)[["rid", "cluster_id"]].itertuples(
+                index=False, name=None
+            )
+        )
+        edges = log.read(spark2).select(
+            F.col("rid").alias("a"), F.col("match_rid").alias("b")
+        )
+        expect = {
+            r["rid"]: r["cluster_id"]
+            for r in connected_components(edges).collect()
+        }
+        assert {r: cmap.get(r) for r in expect} == expect
+
+        # cross-restart links: batch-2 re-lands cluster to batch-1 rids
+        big = 100_000 << 20
+        joined = {r: c for r, c in cmap.items() if r >= big and c < big}
+        assert len(joined) >= 10
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
