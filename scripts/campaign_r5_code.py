@@ -74,10 +74,28 @@ def _save(name: str, obj: dict) -> None:
 def _round(origins: int, repeats: int, tag: str, i: int) -> dict:
     t0 = time.strftime("%H:%M")
     pre = _bw_quick()
-    big = _run_pinned(CORES_BIG, origins, repeats)
-    _save(f"code_scale{tag}_round{i}_32c.json", big)
-    small = _run_pinned(CORES_SMALL, origins, repeats)
-    _save(f"code_scale{tag}_round{i}_8c.json", small)
+    # alternate level order per round: this host's DRAM state has been
+    # observed to degrade MONOTONICALLY over multi-hour stretches
+    # (bench_runs/r05 probes: 32w 272 -> 186 GB/s across one evening), and
+    # with a fixed big-first order every round's 8c level eats the worse
+    # window — inflating the ratio the same flattering way each time. An
+    # 8c-first round carries the opposite bias, so a drift-stable pick
+    # that clears the gate in BOTH orders is credible where a single
+    # order's never is.
+    if i % 2 == 0:
+        big = _run_pinned(CORES_BIG, origins, repeats)
+        _save(f"code_scale{tag}_round{i}_32c.json", big)
+        small = _run_pinned(CORES_SMALL, origins, repeats)
+        _save(f"code_scale{tag}_round{i}_8c.json", small)
+    else:
+        small = _run_pinned(CORES_SMALL, origins, repeats)
+        _save(f"code_scale{tag}_round{i}_8c.json", small)
+        big = _run_pinned(CORES_BIG, origins, repeats)
+        _save(f"code_scale{tag}_round{i}_32c.json", big)
+    # settle before the closing probe: the probe fired seconds after JVM
+    # teardown measures page-reclaim churn, not the window (observed as a
+    # halved 8w reading right after the 8c level, twice)
+    time.sleep(75)
     post = _bw_quick()
     _save(f"code_scale{tag}_round{i}_probes.json", {"pre": pre, "post": post})
     thr_b = big["files"] / big["seconds"]
@@ -85,6 +103,7 @@ def _round(origins: int, repeats: int, tag: str, i: int) -> dict:
     drift = abs(post["gbps_32w"] - pre["gbps_32w"]) / max(pre["gbps_32w"], 1e-9)
     return {
         "window": f"{t0}-{time.strftime('%H:%M')}",
+        "order": "32c-first" if i % 2 == 0 else "8c-first",
         "files": big["files"],
         "seconds_big": big["seconds"],
         "seconds_small": small["seconds"],
