@@ -29,27 +29,38 @@ from pyspark.sql import functions as F
 def pairs_from_rid_lists(grouped: DataFrame, max_bucket: int) -> DataFrame:
     """(rids sorted-array) rows -> candidate pairs (a, b) with a < b.
 
-    Pair expansion is a JVM-side double explode (no second shuffle, no window
+    Pair expansion is a JVM-side explode (no second shuffle, no window
     sort). Buckets within ``max_bucket`` produce all pairs; oversize buckets
     produce star pairs against the min-rid element (C7).
+
+    ONE pass over the bucket exchange: the small-bucket all-pairs arrays and
+    the oversize-bucket star arrays are built as branches of a single
+    conditional projection and exploded once. The previous two-branch form
+    (small filter + big filter unioned) planned a ReusedExchange that read
+    the whole grouped shuffle TWICE — 8.6 GB read for the flagship's 4.3 GB
+    bucket exchange (r06 baseline event log, stage 111). Pair-set equality
+    with the two-branch form: rids are sorted and unique within a bucket, so
+    slicing past index i equals filtering on (x > rids[i]); pinned by the
+    strategy-identity tests in tests/test_dedupe_spark.py.
     """
     grouped = grouped.filter(F.size("rids") > 1).select("rids")
-    small = grouped.filter(F.size("rids") <= max_bucket)
-    full_pairs = (
-        small.select(F.explode("rids").alias("a"), F.col("rids"))
-        .select(
-            "a",
-            F.explode(F.filter("rids", lambda x: x > F.col("a"))).alias("b"),
+    rids = F.col("rids")
+    n = F.size(rids)
+    all_pairs = F.flatten(
+        F.transform(
+            rids,
+            lambda x, i: F.transform(
+                F.slice(rids, i + F.lit(2), n - i - F.lit(1)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
         )
     )
-
-    big = grouped.filter(F.size("rids") > max_bucket)
-    star_pairs = big.select(
-        F.col("rids")[0].alias("a"),
-        F.explode(F.slice(F.col("rids"), F.lit(2), F.size("rids") - 1)).alias("b"),
+    star_pairs = F.transform(
+        F.slice(rids, F.lit(2), n - F.lit(1)),
+        lambda y: F.struct(rids[0].alias("a"), y.alias("b")),
     )
-
-    return full_pairs.unionByName(star_pairs)
+    structs = F.when(n <= max_bucket, all_pairs).otherwise(star_pairs)
+    return grouped.select(F.explode(structs).alias("p")).select("p.a", "p.b")
 
 
 def self_join_pairs(

@@ -211,10 +211,64 @@ def verify_pairs(
             is_dup = is_dup | _containment_arm(m, containment_min_len)
         return j.filter(is_dup).select("a", "b")
 
-    narrow = feat.select("rid", "norm_title", "doi")
+    # Stage 0 (LITE): join only a 128-bit title fingerprint + length + DOI
+    # per side — never the title strings. Equal-title pairs (59% of the
+    # flagship's candidate pairs and ~100% of its true duplicates) have
+    # sim == 1.0 exactly (strsim parity: jaro(x, x) == 1.0, also for ""),
+    # pass every threshold, and for them the containment flag degenerates to
+    # a length test — so the majority of pairs never need their titles
+    # joined at all. The r06 baseline shuffled 8.9 GB of (pair x a-side
+    # title) rows and sort-spilled 11 GB re-keying them by b (stages
+    # 119/125); the fingerprint rows are ~5x narrower and only the
+    # fingerprint-UNEQUAL minority goes on to the title join. Equality by
+    # two independent xxhash64 seeds plus length: unequal fingerprints
+    # PROVE unequal titles (that branch is exact); equal fingerprints on
+    # unequal titles need a simultaneous 128-bit collision, P ~ n_pairs /
+    # 2^128 — the same negligible-collision budget the tier keys already
+    # spend (candidates.py) — and a collision only promotes a pair whose
+    # field corroborations must still pass the wide stage.
+    lite = feat.select(
+        "rid",
+        F.xxhash64("norm_title").alias("th1"),
+        F.xxhash64(F.lit("vfp2"), "norm_title").alias("th2"),
+        F.length("norm_title").alias("tlen"),
+        "doi",
+    )
+    j0 = (
+        pairs.join(_side_cols(lite, "a"), pairs["a"] == F.col("a_rid"))
+        .join(_side_cols(lite, "b"), pairs["b"] == F.col("b_rid"))
+    )
+    # null-safe: a NULL title hashes to the seed constant and has NULL
+    # length; NULL-vs-NULL pairs scored sim == 1.0 before (fillna("") in the
+    # UDF) and must keep doing so, while NULL-vs-present pairs must take the
+    # unequal branch, not vanish into a NULL predicate
+    teq = (
+        F.col("a_th1").eqNullSafe(F.col("b_th1"))
+        & F.col("a_th2").eqNullSafe(F.col("b_th2"))
+        & F.col("a_tlen").eqNullSafe(F.col("b_tlen"))
+    )
+    both_doi, doi_eq = _doi_presence()
+    eq_cols = [F.col("a"), F.col("b"), F.lit(1.0).alias("sim")]
+    if containment:
+        # equal titles: least(la, lb) == la and x.contains(x) is always true,
+        # so the containment flag is exactly the min-length test
+        eq_cols.append(
+            (F.col("a_tlen") >= containment_min_len).alias("title_contained")
+        )
+    surv_eq = j0.filter(teq).select(*eq_cols)
+
+    # Stage 1 (NARROW): only fingerprint-unequal pairs join the title
+    # strings (DOIs ride along from the lite join). Identical gate +
+    # similarity logic as before, applied to provably-unequal titles.
+    neq = j0.filter(~teq).select(
+        "a", "b", F.col("a_doi").alias("p_a_doi"), F.col("b_doi").alias("p_b_doi")
+    )
+    titles = feat.select("rid", "norm_title")
     j1 = (
-        pairs.join(_side_cols(narrow, "a"), pairs["a"] == F.col("a_rid"))
-        .join(_side_cols(narrow, "b"), pairs["b"] == F.col("b_rid"))
+        neq.join(_side_cols(titles, "a"), neq["a"] == F.col("a_rid"))
+        .join(_side_cols(titles, "b"), neq["b"] == F.col("b_rid"))
+        .withColumn("a_doi", F.col("p_a_doi"))
+        .withColumn("b_doi", F.col("p_b_doi"))
     )
     both_doi, doi_eq = _doi_presence()
     # exact per-pair minimum any arm could accept
@@ -256,13 +310,14 @@ def verify_pairs(
             la <= lb, t_b.contains(t_a)
         ).otherwise(t_a.contains(t_b))
         cols.append(contained.alias("title_contained"))
-        surv = (
+        surv_neq = (
             j1.filter(gate | contained)
             .select(*cols)
             .filter((F.col("sim") >= thr) | F.col("title_contained"))
         )
     else:
-        surv = j1.filter(gate).select(*cols).filter(F.col("sim") >= thr)
+        surv_neq = j1.filter(gate).select(*cols).filter(F.col("sim") >= thr)
+    surv = surv_neq.unionByName(surv_eq)
 
     wide = feat.select(*[c for c in _FEATURE_COLS if c != "norm_title"])
     j2 = (

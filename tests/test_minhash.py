@@ -71,3 +71,32 @@ def test_signature_is_jaccard_estimator():
         )
         errs.append(abs(est - jac))
     assert sum(errs) / len(errs) < 0.1
+
+
+def test_mersenne_reduction_matches_modulo():
+    """_perm_vals_mod_m61 must be bit-identical to the plain ``%`` it
+    replaced (the Mersenne shift/add fast path), across the full input
+    domain: a < 2^31, b < 2^61-1, x < 2^32, including the extremes."""
+    from biblib_spark.functions.minhash import _MERSENNE61, _perm_vals_mod_m61
+
+    rng = np.random.default_rng(7)
+    a = np.concatenate(
+        [
+            np.array([1, (1 << 31) - 2], dtype=np.uint64),
+            rng.integers(1, (1 << 31) - 1, 62).astype(np.uint64),
+        ]
+    )
+    b = np.concatenate(
+        [
+            np.array([0, _MERSENNE61 - 1], dtype=np.uint64),
+            rng.integers(0, _MERSENNE61, 62).astype(np.uint64),
+        ]
+    )
+    x = np.concatenate(
+        [
+            np.array([0, 1, (1 << 32) - 1], dtype=np.uint64),
+            rng.integers(0, 1 << 32, 4093).astype(np.uint64),
+        ]
+    )
+    ref = (a[:, None] * x[None, :] + b[:, None]) % np.uint64(_MERSENNE61)
+    assert np.array_equal(_perm_vals_mod_m61(a, x, b), ref)
