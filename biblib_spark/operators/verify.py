@@ -211,64 +211,21 @@ def verify_pairs(
             is_dup = is_dup | _containment_arm(m, containment_min_len)
         return j.filter(is_dup).select("a", "b")
 
-    # Stage 0 (LITE): join only a 128-bit title fingerprint + length + DOI
-    # per side — never the title strings. Equal-title pairs (59% of the
-    # flagship's candidate pairs and ~100% of its true duplicates) have
-    # sim == 1.0 exactly (strsim parity: jaro(x, x) == 1.0, also for ""),
-    # pass every threshold, and for them the containment flag degenerates to
-    # a length test — so the majority of pairs never need their titles
-    # joined at all. The r06 baseline shuffled 8.9 GB of (pair x a-side
-    # title) rows and sort-spilled 11 GB re-keying them by b (stages
-    # 119/125); the fingerprint rows are ~5x narrower and only the
-    # fingerprint-UNEQUAL minority goes on to the title join. Equality by
-    # two independent xxhash64 seeds plus length: unequal fingerprints
-    # PROVE unequal titles (that branch is exact); equal fingerprints on
-    # unequal titles need a simultaneous 128-bit collision, P ~ n_pairs /
-    # 2^128 — the same negligible-collision budget the tier keys already
-    # spend (candidates.py) — and a collision only promotes a pair whose
-    # field corroborations must still pass the wide stage.
-    lite = feat.select(
-        "rid",
-        F.xxhash64("norm_title").alias("th1"),
-        F.xxhash64(F.lit("vfp2"), "norm_title").alias("th2"),
-        F.length("norm_title").alias("tlen"),
-        "doi",
-    )
-    j0 = (
-        pairs.join(_side_cols(lite, "a"), pairs["a"] == F.col("a_rid"))
-        .join(_side_cols(lite, "b"), pairs["b"] == F.col("b_rid"))
-    )
-    # null-safe: a NULL title hashes to the seed constant and has NULL
-    # length; NULL-vs-NULL pairs scored sim == 1.0 before (fillna("") in the
-    # UDF) and must keep doing so, while NULL-vs-present pairs must take the
-    # unequal branch, not vanish into a NULL predicate
-    teq = (
-        F.col("a_th1").eqNullSafe(F.col("b_th1"))
-        & F.col("a_th2").eqNullSafe(F.col("b_th2"))
-        & F.col("a_tlen").eqNullSafe(F.col("b_tlen"))
-    )
-    both_doi, doi_eq = _doi_presence()
-    eq_cols = [F.col("a"), F.col("b"), F.lit(1.0).alias("sim")]
-    if containment:
-        # equal titles: least(la, lb) == la and x.contains(x) is always true,
-        # so the containment flag is exactly the min-length test
-        eq_cols.append(
-            (F.col("a_tlen") >= containment_min_len).alias("title_contained")
-        )
-    surv_eq = j0.filter(teq).select(*eq_cols)
-
-    # Stage 1 (NARROW): only fingerprint-unequal pairs join the title
-    # strings (DOIs ride along from the lite join). Identical gate +
-    # similarity logic as before, applied to provably-unequal titles.
-    neq = j0.filter(~teq).select(
-        "a", "b", F.col("a_doi").alias("p_a_doi"), F.col("b_doi").alias("p_b_doi")
-    )
-    titles = feat.select("rid", "norm_title")
+    # Stage 1 (NARROW): pairs join only (rid, norm_title, doi) per side.
+    # The round-5 bonus commit routed pairs through an even narrower
+    # 128-bit title-fingerprint join first so equal-title pairs never carry
+    # their title strings — measured SLOWER here (47.2 s vs 24.2 s at 5.1M
+    # records, same window): the corpus's normalized titles are ~40-60
+    # chars, so the fingerprint row (2x xxhash64 + length) is barely
+    # narrower than the title itself, and the extra join round-trip (two
+    # more shuffles of every candidate pair plus a union) costs more than
+    # the byte diet saves. The equal-title majority is already near-free
+    # inside the sim UDF (vectorized a != b mask; equal rows skip the block
+    # kernel), so the narrow join carries the titles directly.
+    narrow = feat.select("rid", "norm_title", "doi")
     j1 = (
-        neq.join(_side_cols(titles, "a"), neq["a"] == F.col("a_rid"))
-        .join(_side_cols(titles, "b"), neq["b"] == F.col("b_rid"))
-        .withColumn("a_doi", F.col("p_a_doi"))
-        .withColumn("b_doi", F.col("p_b_doi"))
+        pairs.join(_side_cols(narrow, "a"), pairs["a"] == F.col("a_rid"))
+        .join(_side_cols(narrow, "b"), pairs["b"] == F.col("b_rid"))
     )
     both_doi, doi_eq = _doi_presence()
     # exact per-pair minimum any arm could accept
@@ -310,14 +267,13 @@ def verify_pairs(
             la <= lb, t_b.contains(t_a)
         ).otherwise(t_a.contains(t_b))
         cols.append(contained.alias("title_contained"))
-        surv_neq = (
+        surv = (
             j1.filter(gate | contained)
             .select(*cols)
             .filter((F.col("sim") >= thr) | F.col("title_contained"))
         )
     else:
-        surv_neq = j1.filter(gate).select(*cols).filter(F.col("sim") >= thr)
-    surv = surv_neq.unionByName(surv_eq)
+        surv = j1.filter(gate).select(*cols).filter(F.col("sim") >= thr)
 
     wide = feat.select(*[c for c in _FEATURE_COLS if c != "norm_title"])
     j2 = (

@@ -120,6 +120,27 @@ def get_spark(
         # local mode has no separate executor JVM; on a real cluster the
         # executors are where the stall happens, so ship the same flags
         .config("spark.executor.extraJavaOptions", _GC_OPTS)
+        # Straggler/hang insurance (guide §2.6): a reused Python worker can
+        # deadlock against the JVM on the Arrow socket (observed r06: task
+        # thread in EPoll.wait on its reader while the worker sits with
+        # 33 MB unread input and a full 4 MB send queue — a worker/socket
+        # handoff race; the whole 32-core box idles behind ONE task forever,
+        # which is indistinguishable from the r05 driver bench's rc-124
+        # nothing-written timeout). Two layers: (1) don't reuse workers —
+        # each task forks a fresh worker from the daemon (fork is cheap on
+        # Linux; measured ~no parse-stage cost at 15M records), so the race
+        # window dies with the task; (2) speculation re-launches any task
+        # 4x slower than the stage median once 75% of the stage is done —
+        # a hung task's speculative copy completes and the stage moves on.
+        # Parse/feature tasks are pure reads + Spark-committed writes, so
+        # duplicates are safe (idempotent commit protocol).
+        .config(
+            "spark.python.worker.reuse",
+            os.environ.get("SPARK_GRAFT_WORKER_REUSE", "false"),
+        )
+        .config("spark.speculation", "true")
+        .config("spark.speculation.multiplier", "4")
+        .config("spark.speculation.quantile", "0.75")
     )
     # generic conf pass-through for single-variable A/B arms:
     # SPARK_GRAFT_EXTRA_CONF="spark.memory.fraction=0.75;spark.x=y"

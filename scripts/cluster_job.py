@@ -104,7 +104,17 @@ def main() -> None:
     )
 
     spark = get_spark(f"cluster_job_{cores}", cores=cores)
-
+    # Coarse input splits for THIS job only (guide §6: fewer, larger map
+    # tasks): the session default (3m) suits the few-hundred-MB sf tables,
+    # but at 6M payloads the corpus is ~4 GB and 3m splits plan ~1,344 scan
+    # tasks whose fixed costs dominate — the r06 baseline parse stage
+    # carried 366 s of task-deserialization time alone (stage 43), every
+    # downstream feature-spill scan re-split into ~786 tasks x 6 consumers,
+    # and the same job measured 259 -> 139 s (3M payloads, 32c, one window)
+    # when re-split to ~128 map tasks. Scale-adaptive, not core-count
+    # dependent (guide §2): target ~128 map tasks from the INPUT SIZE so
+    # both scaling levels run the identical plan, clamped to [16m, 64m]
+    # (measured at 3M: 8m 175 s, 16m 139 s, 32m 151 s, 64m 210 s).
     # materialize the input table first — the north_rule pipeline reads an
     # Iceberg/parquet table, so input synthesis is not part of the measured
     # clustering window. SPARK_GRAFT_MEGA_FRAC > 0 plants the C7 skew
@@ -114,6 +124,16 @@ def main() -> None:
     mega_frac = float(os.environ.get("SPARK_GRAFT_MEGA_FRAC", "0"))
     main_path = _corpus_path(spark, num_payloads, seed, mega_frac)
     _touch_pages(main_path)
+    split_env = os.environ.get("SPARK_GRAFT_SPLIT_MB")
+    if split_env is None:
+        corpus_bytes = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _d, fs in os.walk(main_path) for f in fs
+        )
+        split_mb = min(64, max(16, corpus_bytes // (128 * 1024 * 1024)))
+    else:
+        split_mb = int(split_env)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", f"{split_mb}m")
     corpus = spark.read.parquet(main_path)
     warm = spark.read.parquet(_corpus_path(spark, WARMUP_PAYLOADS, seed))
     dedupe_corpus(warm, cfg).count()
