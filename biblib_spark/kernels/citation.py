@@ -137,6 +137,7 @@ def iter_rust_lines(text: str) -> list[tuple[str, int, int]]:
     pos = 0
     parts = text.split("\n")
     n = len(parts)
+    ascii_text = text.isascii()  # byte length == char length for every line
     for i, part in enumerate(parts):
         if i == n - 1 and part == "" and text.endswith("\n"):
             break
@@ -144,7 +145,7 @@ def iter_rust_lines(text: str) -> list[tuple[str, int, int]]:
         had_cr = raw.endswith("\r") and i < n - 1
         if had_cr:
             raw = raw[:-1]
-        blen = len(raw.encode("utf-8"))
+        blen = len(raw) if ascii_text else len(raw.encode("utf-8"))
         out.append((raw, pos, pos + blen))
         # consumed bytes: line + optional '\r' + the '\n' separator (if any)
         pos += blen + (1 if had_cr else 0) + (1 if i < n - 1 else 0)

@@ -31,6 +31,16 @@ HTML_REPLACEMENTS: tuple[tuple[str, str], ...] = (
 
 _ISSN_STRIP_RE = re.compile(r"[^0-9X-]")
 
+# ASCII fast-path tables (str.translate): delete every ASCII char that
+# ``str.isalnum`` rejects, keep the rest. Semantics-identical to the
+# per-char generator joins below for ``isascii()`` inputs — non-ASCII
+# strings take the original path (unicode alnum classes differ from ASCII).
+_ASCII_ALNUM_KEEP = {
+    c: None for c in range(128) if not chr(c).isalnum()
+}
+# any ASCII byte that would trigger a replacement or survive filtering
+# differently is impossible: HTML_REPLACEMENTS run BEFORE this table.
+
 
 def convert_unicode_string(s: str) -> str:
     """``<U+03A9>`` -> ``Ω`` (N1). reference: src/dedupe.rs:711-721.
@@ -61,6 +71,8 @@ def normalize_string(s: str) -> str | None:
     t = s.strip().lower()
     for old, new in HTML_REPLACEMENTS:
         t = t.replace(old, new)
+    if t.isascii():
+        return t.translate(_ASCII_ALNUM_KEEP)
     return "".join(c for c in t if c.isalnum())
 
 
@@ -99,7 +111,10 @@ def format_journal_name(full_name: str | None) -> str | None:
     if full_name is None:
         return None
     head = full_name.split(". Conference")[0]
-    return "".join(c for c in head.strip().lower() if c.isalnum())
+    head = head.strip().lower()
+    if head.isascii():
+        return head.translate(_ASCII_ALNUM_KEEP)
+    return "".join(c for c in head if c.isalnum())
 
 
 def format_issn(issn_str: str) -> str | None:

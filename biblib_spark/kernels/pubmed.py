@@ -215,11 +215,23 @@ def _chunk_to_citation(
 ) -> dict[str, Any] | None:
     """One blank-line chunk -> citation dict, None for blank chunks, or
     raises ParseErr. reference: parse.rs:27-43 + structure.rs:20-106."""
-    span = (start_byte, start_byte + len(chunk.encode("utf-8")))
+    span = (
+        start_byte,
+        start_byte
+        + (len(chunk) if chunk.isascii() else len(chunk.encode("utf-8"))),
+    )
     data: dict[str, list[str]] = {}
     ordered: list[tuple[str, str]] = []
     any_content = False
-    for entry_line in whole_lines(chunk.split(line_break)):
+    lines = chunk.split(line_break)
+    # fast path: no line starts with a space -> whole_lines is the identity
+    # (every group is a single line and _join_lines of one element returns
+    # it unchanged); the common case for machine-exported .nbib
+    if not (chunk.startswith(" ") or (line_break + " ") in chunk):
+        entry_lines = lines
+    else:
+        entry_lines = whole_lines(lines)
+    for entry_line in entry_lines:
         if entry_line.strip():
             any_content = True
         parsed = _parse_entry(entry_line)
@@ -296,9 +308,10 @@ def parse_pubmed(text: str) -> tuple[list[dict[str, Any]], list[dict[str, Any]]]
     citations: list[dict[str, Any]] = []
     errors: list[dict[str, Any]] = []
     byte_pos = 0
+    ascii_text = text.isascii()
     for start_line, _start_char, chunk in blank_line_split(text, line_break):
         start_byte = byte_pos
-        byte_pos += len(chunk.encode("utf-8"))
+        byte_pos += len(chunk) if ascii_text else len(chunk.encode("utf-8"))
         try:
             c = _chunk_to_citation(chunk, line_break, start_line, start_byte)
             if c is not None:

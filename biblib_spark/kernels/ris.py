@@ -224,33 +224,48 @@ def ris_parse_raw(text: str) -> list[RawRis]:
     for line_number, (raw_line, byte_start, byte_end) in enumerate(
         iter_rust_lines(text), start=1
     ):
-        if not raw_line.strip():
-            continue
-        is_cont = (
-            _is_continuation_line_ascii(raw_line)
-            if raw_line.isascii()
-            else _is_continuation_line(raw_line.encode("utf-8"))
-        )
-        if is_cont:
-            if last_tag is not None:
+        # fast path: the canonical "XX  - value" tag line (the overwhelming
+        # majority of real RIS lines). First two chars ASCII-alnum plus the
+        # exact "  - " separator is never a continuation, never metadata,
+        # never blank, and parses to (tag, line[6:].strip()) on both the str
+        # and bytes paths (the 6-char prefix is ASCII, so char offset ==
+        # byte offset) — one slice comparison replaces the strip /
+        # continuation / metadata / separator dispatch chain.
+        if (
+            raw_line[2:6] == "  - "
+            and _ASCII_ALNUM.get(raw_line[0])
+            and _ASCII_ALNUM.get(raw_line[1])
+        ):
+            parsed = (raw_line[:2], raw_line[6:].strip())
+        else:
+            parsed = None
+            if not raw_line.strip():
+                continue
+            is_cont = (
+                _is_continuation_line_ascii(raw_line)
+                if raw_line.isascii()
+                else _is_continuation_line(raw_line.encode("utf-8"))
+            )
+            if is_cont:
+                if last_tag is not None:
+                    if cur.span is not None:
+                        cur.span[1] = byte_end
+                    vals = cur.data.get(last_tag)
+                    if vals:
+                        vals[-1] = vals[-1] + " " + raw_line.strip()
+                else:
+                    cur.ignored_lines.append((line_number, raw_line.strip()))
+                continue
+            line = raw_line.strip()
+            if _is_metadata_line(line):
+                continue
+            parsed = _parse_ris_line(line)
+            if parsed is None:
                 if cur.span is not None:
                     cur.span[1] = byte_end
-                vals = cur.data.get(last_tag)
-                if vals:
-                    vals[-1] = vals[-1] + " " + raw_line.strip()
-            else:
-                cur.ignored_lines.append((line_number, raw_line.strip()))
-            continue
-        line = raw_line.strip()
-        if _is_metadata_line(line):
-            continue
-        parsed = _parse_ris_line(line)
-        if parsed is None:
-            if cur.span is not None:
-                cur.span[1] = byte_end
-            last_tag = None
-            cur.ignored_lines.append((line_number, line))
-            continue
+                last_tag = None
+                cur.ignored_lines.append((line_number, line))
+                continue
         tag, content = parsed
         if tag == "TY":
             if cur.has_content():

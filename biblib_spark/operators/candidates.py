@@ -350,7 +350,21 @@ def flat_candidate_pairs(feat: DataFrame, cfg) -> DataFrame:
         gen = self_join_pairs_joined
     else:
         gen = self_join_pairs
-    pairs = gen(keyed, ["year_key", "bkey"], cfg.max_bucket)
+    if getattr(cfg, "fused_bucket_key", True):
+        # year_key folded INTO the 64-bit bucket key: the keyed-row exchange
+        # is the pipeline's widest shuffle (~20 rows/record), and one long
+        # key instead of (int, long) narrows the row ~25% and makes the
+        # bucket groupBy a single-long radix sort/hash. A 2^-64 key
+        # collision can merge two buckets (including across year blocks) —
+        # candidates only; the verify predicate stays exact, the same
+        # negligible-collision budget the tier-salted xxhash64 keys above
+        # already spend.
+        keyed = keyed.select(
+            F.xxhash64("year_key", "bkey").alias("bkey"), "rid"
+        )
+        pairs = gen(keyed, ["bkey"], cfg.max_bucket)
+    else:
+        pairs = gen(keyed, ["year_key", "bkey"], cfg.max_bucket)
     # C5: one verify per unordered pair (same pair can surface in many tiers)
     return pairs.distinct()
 

@@ -101,6 +101,13 @@ def main() -> None:
         pair_strategy=os.environ.get(
             "SPARK_GRAFT_PAIR_STRATEGY", DedupConfig.pair_strategy
         ),
+        fused_bucket_key=os.environ.get("SPARK_GRAFT_FUSED_KEY", "1") == "1",
+        broadcast_verify_rows=int(
+            os.environ.get(
+                "SPARK_GRAFT_BCAST_VERIFY",
+                str(DedupConfig.broadcast_verify_rows),
+            )
+        ),
     )
 
     spark = get_spark(f"cluster_job_{cores}", cores=cores)
