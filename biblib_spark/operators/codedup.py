@@ -490,6 +490,13 @@ def code_dup_edges(feat: DataFrame) -> DataFrame:
         )
         .groupBy("a", "b")
         .agg(F.max("tm").alias("tm"), F.max("tw").alias("tw"))
+        # pin the gram-verify join at cluster parallelism: AQE coalesces
+        # the slim candidate shuffle by BYTES, but verify cost is per-row
+        # CPU over ~4 KB gram arrays — small corpora otherwise verify in
+        # one task (same fix as textops.near_dup_pairs_minhash; AQE leaves
+        # explicit partition counts alone, and at scale this count is the
+        # pair table's natural parallelism anyway)
+        .repartition(feat.sparkSession.sparkContext.defaultParallelism)
     )
     g = feat.select("rid", "grams")
     a = g.select(F.col("rid").alias("a"), F.col("grams").alias("a_g"))

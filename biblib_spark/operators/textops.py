@@ -28,6 +28,22 @@ def norm_text_col(text: Column) -> Column:
     return F.regexp_replace(F.lower(text), "[^a-z0-9]", "")
 
 
+def _fan_out(docs: DataFrame) -> DataFrame:
+    """Spread a narrow input across the cluster before a heavy per-row UDF.
+
+    A small parquet table arrives in a handful of input splits, which caps
+    the Python stage at that parallelism (measured: the 128-perm MinHash
+    UDF over 5k docs ran ~single-core, 6.2 s of a 6.3 s query). Repartition
+    ONLY when the scan has fewer partitions than the cluster has slots —
+    at warehouse scale inputs carry plenty of splits and this is a no-op,
+    so no payload-wide shuffle is ever added where it matters (guide §2.5
+    input-skew rule)."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        return docs.repartition(par)
+    return docs
+
+
 def token_count_col(text: Column) -> Column:
     return F.size(F.split(F.trim(text), r"\s+"))
 
@@ -95,7 +111,7 @@ def near_dup_pairs_simhash(
     def _sh(texts: pd.Series) -> pd.Series:
         return pd.Series(simhash64_batch(texts.tolist(), k))
 
-    with_sh = docs.select(
+    with_sh = _fan_out(docs).select(
         F.col("doc_id").alias("rid"), _sh(F.col(text_col)).alias("sh")
     ).localCheckpoint(eager=True)
 
@@ -276,15 +292,34 @@ def near_dup_pairs_minhash(
     """
     lsh = make_band_keys_udf(shingle_k, num_perm, bands, seed)
     feat = (
-        docs.select(
+        _fan_out(docs).select(
             F.col("doc_id").alias("rid"),
             norm_text_col(F.col("text")).alias("norm_text"),
         )
         .withColumn("lsh_keys", lsh("norm_text"))
         .withColumn("grams", _gram_set_col("norm_text"))
+        .drop("norm_text")
+        # materialized ONCE: feat fans out three ways (band keys + both
+        # verify sides) and each branch would otherwise re-run the
+        # normalize + 128-perm MinHash UDF + gram build per consumer —
+        # the r06 before-plan shows 4 ArrowEvalPython nodes for one UDF
+        # (plans/r06/near_dup_minhash_before.txt); after: 1
+        .localCheckpoint(eager=True)
     )
     keyed = feat.select(F.explode("lsh_keys").alias("lsh_key"), "rid")
-    pairs = self_join_pairs(keyed, ["lsh_key"], max_bucket).distinct()
+    # explicit repartition before the gram verify: AQE coalesces the tiny
+    # pair shuffle to ONE partition by byte size, but the verify cost is
+    # per-row CPU (array_intersect over ~hundreds-of-element gram sets) —
+    # the r06 profile showed a single 4.1 s task doing the whole verify.
+    # AQE leaves user-specified partition counts alone, so this pins the
+    # verify at cluster parallelism; at warehouse scale the pair table is
+    # large and the same count is simply its natural parallelism.
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    pairs = (
+        self_join_pairs(keyed, ["lsh_key"], max_bucket)
+        .distinct()
+        .repartition(par)
+    )
     fa = feat.select(F.col("rid").alias("a_rid"), F.col("grams").alias("a_grams"))
     fb = feat.select(F.col("rid").alias("b_rid"), F.col("grams").alias("b_grams"))
     # verify is pure codegen: set intersect/union over the precomputed gram

@@ -126,17 +126,19 @@ def get_spark(
         # 33 MB unread input and a full 4 MB send queue — a worker/socket
         # handoff race; the whole 32-core box idles behind ONE task forever,
         # which is indistinguishable from the r05 driver bench's rc-124
-        # nothing-written timeout). Two layers: (1) don't reuse workers —
-        # each task forks a fresh worker from the daemon (fork is cheap on
-        # Linux; measured ~no parse-stage cost at 15M records), so the race
-        # window dies with the task; (2) speculation re-launches any task
-        # 4x slower than the stage median once 75% of the stage is done —
-        # a hung task's speculative copy completes and the stage moves on.
-        # Parse/feature tasks are pure reads + Spark-committed writes, so
-        # duplicates are safe (idempotent commit protocol).
+        # nothing-written timeout). Speculation re-launches any task 4x
+        # slower than the stage median once 75% of the stage is done: a
+        # hung task's speculative copy completes, the original is killed,
+        # and a future hang costs seconds instead of the bench. All
+        # pipeline tasks are pure reads + Spark-committed writes
+        # (idempotent under retry/speculation). worker.reuse stays ON —
+        # disabling it also closes the race but every fresh worker re-pays
+        # the numpy/pandas import (~0.5 s/task), flooring short Python
+        # stages (measured: sf0.1 near-dup query 6.1 s with reuse off vs
+        # ~2 s on; flagship indifferent — 259.1 vs 259.7 s).
         .config(
             "spark.python.worker.reuse",
-            os.environ.get("SPARK_GRAFT_WORKER_REUSE", "false"),
+            os.environ.get("SPARK_GRAFT_WORKER_REUSE", "true"),
         )
         .config("spark.speculation", "true")
         .config("spark.speculation.multiplier", "4")
