@@ -27,7 +27,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-WARMUP_PAYLOADS = 30_000  # big enough that AQE keeps the shuffled-join plans
+WARMUP_PAYLOADS = int(
+    os.environ.get("SPARK_GRAFT_WARMUP_PAYLOADS", "30000")
+)  # big enough that AQE keeps the shuffled-join plans
 
 
 def _corpus_path(
