@@ -268,7 +268,16 @@ def verify_pairs(
     sim_ub = F.when(both_doi, j_ub).otherwise(jw_ub)
     gate = sim_ub >= thr
 
-    sim = _title_sim_udf(t_a, t_b, both_doi)
+    # Arrow-boundary byte diet: equal-title pairs (the dup-heavy majority
+    # of gate survivors) don't need their strings in Python — the UDF's
+    # fillna("") fast path scores (NULL, NULL) exactly like two equal
+    # strings (1.0), so ship NULLs for them (an Arrow NULL carries no
+    # string bytes). eqNullSafe keeps the NULL-vs-"" pair on the kernel
+    # path, where jaro("", "") == 1.0 preserves the old fillna semantics.
+    _neq = ~t_a.eqNullSafe(t_b)
+    sim = _title_sim_udf(
+        F.when(_neq, t_a), F.when(_neq, t_b), both_doi
+    )
     cols = [F.col("a"), F.col("b"), sim.alias("sim")]
     if containment:
         contained = (F.least(la, lb) >= containment_min_len) & F.when(

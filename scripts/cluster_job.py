@@ -144,7 +144,21 @@ def main() -> None:
         split_mb = int(split_env)
     spark.conf.set("spark.sql.files.maxPartitionBytes", f"{split_mb}m")
     corpus = spark.read.parquet(main_path)
-    warm = spark.read.parquet(_corpus_path(spark, WARMUP_PAYLOADS, seed))
+    # Warmup size: the fixed 30k warmup compiles the WRONG codegen classes
+    # for a multi-million-payload run — at 30k payloads the feature table
+    # is ~7 MB, AQE plans broadcast joins, and the big run's sort-merge /
+    # object-agg WholeStageCodegen classes are first-compiled DURING
+    # repeat 1 (measured: repeat-1 stages burning 3-10x the CPU of
+    # repeat-2 for identical work; narrow-join stage 108 s vs 11 s).
+    # A warmup at ~1/6 of the input (capped at 1M payloads) takes the same
+    # AQE branches: repeat-1 dropped 591 -> 426 s at 6M/32c for ~55 s of
+    # extra warmup. Only at >= 16 cores: best-of-2 discards the JIT
+    # repeat anyway, and at 8 pinned cores the bigger warmup's own wall
+    # (~4x) cancels the saving.
+    warm_n = WARMUP_PAYLOADS
+    if cores >= 16:
+        warm_n = max(WARMUP_PAYLOADS, min(1_000_000, num_payloads // 6))
+    warm = spark.read.parquet(_corpus_path(spark, warm_n, seed))
     dedupe_corpus(warm, cfg).count()
 
     from biblib_spark.hostload import ExternalLoadMeter
